@@ -1,0 +1,245 @@
+"""Central discretisation object: device-resident geometry + tabulation tables.
+
+Bundles everything the batched weak-form kernels in ``ops/`` and the solvers in
+``linalg/`` need at runtime into a single JAX pytree (``Geom``) so that every
+hot function is ``jit(f)(geom, state...)`` with purely static shapes.
+
+Field layouts (runtime arrays):
+    velocity   Q      (n_cells, d1, 2)   nodal DG(k+1) vector coefficients
+    pressure   p      (n_cells, d0)      nodal DG(k)
+    trace      lam    (n_facets, nt)     nodal DGT(k), single-valued per facet
+    tracer     q      (n_cells, d0)      nodal DG(k)
+
+The geometry-class machinery (``cell_class``) deduplicates per-cell dense
+operator blocks: cells with identical (Jacobian, facet orientation, boundary
+pattern) share precomputed element matrices, so on structured meshes the
+static-condensation tables are O(1) instead of O(n_cells).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .spaces import tabulate_cell_space, tabulate_trace_space
+
+__all__ = ["Geom", "HDGDiscretisation"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "wq",
+        "phi1",
+        "gphi1",
+        "hphi1",
+        "tgphi1",
+        "phi0",
+        "gphi0",
+        "wqf",
+        "sqf",
+        "tr",
+        "tphi1",
+        "tphi0",
+        "det_jac",
+        "jac_inv",
+        "normal",
+        "flen",
+        "hF_inv",
+        "fcells",
+        "ftab",
+        "cell_facets",
+        "cfside",
+        "cfsign",
+        "cf_tab",
+        "cf_bnd",
+        "xq",
+        "xnodes1",
+        "xnodes0",
+        "m1",
+        "m0",
+        "m1inv",
+        "m0inv",
+        "mtinv",
+    ],
+    meta_fields=["n_int", "degree"],
+)
+@dataclass
+class Geom:
+    """Device-resident geometry/tabulation pytree (see module docstring)."""
+
+    # quadrature + reference tabulations
+    wq: jnp.ndarray  # (nq,) cell quadrature weights (reference triangle)
+    phi1: jnp.ndarray  # (nq, d1) DG(k+1) values
+    gphi1: jnp.ndarray  # (nq, d1, 2) DG(k+1) reference gradients
+    hphi1: jnp.ndarray  # (nq, d1, 2, 2) DG(k+1) reference second derivatives
+    tgphi1: jnp.ndarray  # (6, nqf, d1, 2) facet traces of DG(k+1) ref gradients
+    phi0: jnp.ndarray  # (nq, d0) DG(k)
+    gphi0: jnp.ndarray  # (nq, d0, 2)
+    wqf: jnp.ndarray  # (nqf,) facet quadrature weights on [0,1]
+    sqf: jnp.ndarray  # (nqf,) facet quadrature points
+    tr: jnp.ndarray  # (nqf, nt) DGT(k) basis at facet quadrature
+    tphi1: jnp.ndarray  # (6, nqf, d1) facet traces of DG(k+1), index 2*l+flip
+    tphi0: jnp.ndarray  # (6, nqf, d0)
+
+    # per-cell geometry
+    det_jac: jnp.ndarray  # (nc,)
+    jac_inv: jnp.ndarray  # (nc, 2, 2)
+
+    # per-facet data (interior facets first)
+    normal: jnp.ndarray  # (nf, 2) outward from plus cell
+    flen: jnp.ndarray  # (nf,)
+    hF_inv: jnp.ndarray  # (nf,) = 1/flen  (reference common.py:36-57)
+    fcells: jnp.ndarray  # (nf, 2) int32; [:, 1] == clamp for boundary
+    ftab: jnp.ndarray  # (nf, 2) int32 trace-tab index 2*local+flip per side
+
+    # cell -> facet maps
+    cell_facets: jnp.ndarray  # (nc, 3) int32
+    cfside: jnp.ndarray  # (nc, 3) int32 0 plus / 1 minus
+    cfsign: jnp.ndarray  # (nc, 3) +1 if facet normal is outward for this cell
+    cf_tab: jnp.ndarray  # (nc, 3) int32 trace-tab index for this cell's side
+    cf_bnd: jnp.ndarray  # (nc, 3) bool: facet is on the boundary
+
+    # physical coordinates
+    xq: jnp.ndarray  # (nc, nq, 2) cell quadrature points
+    xnodes1: jnp.ndarray  # (nc, d1, 2) DG(k+1) nodes
+    xnodes0: jnp.ndarray  # (nc, d0, 2) DG(k) nodes
+
+    # reference mass matrices and inverses (affine cells: M_cell = det_jac * M_ref)
+    m1: jnp.ndarray  # (d1, d1)
+    m0: jnp.ndarray  # (d0, d0)
+    m1inv: jnp.ndarray  # (d1, d1)
+    m0inv: jnp.ndarray  # (d0, d0)
+    mtinv: jnp.ndarray  # (nt, nt)
+
+    # static metadata
+    n_int: int = 0
+    degree: int = 1
+
+    @property
+    def n_cells(self):
+        return self.det_jac.shape[0]
+
+    @property
+    def n_facets(self):
+        return self.normal.shape[0]
+
+    @property
+    def d1(self):
+        return self.phi1.shape[1]
+
+    @property
+    def d0(self):
+        return self.phi0.shape[1]
+
+    @property
+    def nt(self):
+        return self.tr.shape[1]
+
+
+class HDGDiscretisation:
+    """Host-side bundle: mesh + tabulations + the device Geom pytree.
+
+    :arg mesh: a ``TriangleMesh``
+    :arg degree: polynomial degree k of the pressure space (velocity is k+1)
+    :arg dtype: runtime floating dtype (float64 for convergence verification,
+        float32/bfloat16 for the TPU performance path) — the dtype config axis
+        called for by SURVEY.md section 7
+    """
+
+    def __init__(self, mesh, degree, dtype=jnp.float64):
+        self.mesh = mesh
+        self.degree = int(degree)
+        self.dtype = dtype
+        k = self.degree
+
+        cell_qdeg = 3 * k + 5
+        facet_qdeg = 3 * k + 6
+        self.Vt = tabulate_trace_space(k, facet_qdeg)
+        sq = self.Vt.sq
+        self.V1 = tabulate_cell_space(k + 1, cell_qdeg, sq)
+        self.V0 = tabulate_cell_space(k, cell_qdeg, sq)
+
+        m = mesh
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+
+        # clamp missing minus cells to 0 so gathers are in-bounds; interior mask
+        # n_int keeps results correct (boundary facets never read side 1)
+        fcells = m.facet_cells.copy()
+        fcells[fcells < 0] = 0
+        ftab = 2 * m.facet_local + m.facet_flip
+
+        cfsign = np.where(m.cell_facet_side == 0, 1.0, -1.0)
+        cf_tab = ftab[m.cell_facets, m.cell_facet_side]
+        cf_bnd = m.cell_facets >= m.n_interior_facets
+
+        xq = m.map_to_physical(self.V1.qp)
+        xnodes1 = m.map_to_physical(self.V1.nodes)
+        xnodes0 = m.map_to_physical(self.V0.nodes)
+
+        self.geom = Geom(
+            wq=f(self.V1.qw),
+            phi1=f(self.V1.phi),
+            gphi1=f(self.V1.gphi),
+            hphi1=f(self.V1.hphi),
+            tgphi1=f(self.V1.tgphi),
+            phi0=f(self.V0.phi),
+            gphi0=f(self.V0.gphi),
+            wqf=f(self.Vt.wq),
+            sqf=f(self.Vt.sq),
+            tr=f(self.Vt.tr),
+            tphi1=f(self.V1.tphi),
+            tphi0=f(self.V0.tphi),
+            det_jac=f(m.det_jac),
+            jac_inv=f(m.jac_inv),
+            normal=f(m.normals),
+            flen=f(m.facet_lengths),
+            hF_inv=f(1.0 / m.facet_lengths),
+            fcells=i32(fcells),
+            ftab=i32(ftab),
+            cell_facets=i32(m.cell_facets),
+            cfside=i32(m.cell_facet_side),
+            cfsign=f(cfsign),
+            cf_tab=i32(cf_tab),
+            cf_bnd=jnp.asarray(cf_bnd),
+            xq=f(xq),
+            xnodes1=f(xnodes1),
+            xnodes0=f(xnodes0),
+            m1=f(self.V1.mass_ref),
+            m0=f(self.V0.mass_ref),
+            m1inv=f(self.V1.mass_ref_inv),
+            m0inv=f(self.V0.mass_ref_inv),
+            mtinv=f(self.Vt.mass_ref_inv),
+            n_int=int(m.n_interior_facets),
+            degree=k,
+        )
+
+        self.domain_volume = m.domain_volume
+
+    # ------------------------------------------------------------------
+    # interpolation (the analogue of Function(V).interpolate(expr))
+    # ------------------------------------------------------------------
+
+    def interpolate_velocity(self, fn):
+        """Nodal interpolation of ``fn(x, y) -> (2,)`` into V_Q: (nc, d1, 2)."""
+        x = self.geom.xnodes1
+        return jnp.stack(
+            jnp.broadcast_arrays(*_as_pair(fn(x[..., 0], x[..., 1]))), axis=-1
+        ).astype(self.dtype)
+
+    def interpolate_pressure(self, fn):
+        """Nodal interpolation of scalar ``fn(x, y)`` into V_p: (nc, d0)."""
+        x = self.geom.xnodes0
+        return jnp.broadcast_to(
+            jnp.asarray(fn(x[..., 0], x[..., 1])), x.shape[:-1]
+        ).astype(self.dtype)
+
+
+def _as_pair(v):
+    """Normalize a vector-expression result to a pair of arrays."""
+    if isinstance(v, (tuple, list)):
+        return v[0], v[1]
+    return v[..., 0], v[..., 1]

@@ -1,0 +1,209 @@
+"""Two-level (GTMG-equivalent) preconditioner for the condensed trace system.
+
+TPU-native replacement for ``firedrake.GTMGPC`` + ASMStar smoothing + gamg
+coarse solve (/root/reference/src/timesteppers/hdg_imex.py:128-170 and the
+appctx coarse-space callbacks at hdg_imex.py:97-118):
+
+- fine level: the DGT trace system S (per-cell Schur blocks);
+  smoother = Chebyshev over facet-block Jacobi (the TPU analogue of
+  2 Chebyshev iterations of ASMStarPC patches, hdg_imex.py:142-152)
+- coarse level: the P1 conforming Laplacian (hdg_imex.py:101-106),
+  approximately inverted by Chebyshev over Jacobi (replacing gamg,
+  hdg_imex.py:153-167)
+- transfer: linear interpolation of vertex values along each facet
+  (the analogue of the facet-mass-inverse x P1-projection interpolation
+  matrix of hdg_imex.py:491-503; for straight facets and nodal trace bases
+  the two coincide up to the trace-basis change)
+
+All pieces are linear with static iteration counts, so the preconditioner is
+a fixed linear operator — safe for (left-preconditioned) GMRES.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .condense import trace_matvec
+
+__all__ = ["TwoLevelTracePC", "build_gtmg", "gtmg_apply"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "Sdiag_inv",
+        "facet_verts",
+        "trace_nodes",
+        "K_elem",
+        "cells",
+        "K_diag_inv",
+        "sign",
+    ],
+    meta_fields=["n_vertices", "cheb_fine", "cheb_coarse", "lmax_fine", "lmax_coarse"],
+)
+@dataclass
+class TwoLevelTracePC:
+    Sdiag_inv: jnp.ndarray  # (nf, nt, nt)
+    facet_verts: jnp.ndarray  # (nf, 2) endpoint vertex ids, lo -> hi
+    trace_nodes: jnp.ndarray  # (nt,) nodal positions on [0, 1]
+    K_elem: jnp.ndarray  # (nc, 3, 3) P1 stiffness element matrices
+    cells: jnp.ndarray  # (nc, 3)
+    K_diag_inv: jnp.ndarray  # (nv,)
+    sign: jnp.ndarray  # scalar: sign making sign*S positive semidefinite
+    n_vertices: int = 0
+    cheb_fine: int = 2
+    cheb_coarse: int = 25
+    lmax_fine: float = 1.0
+    lmax_coarse: float = 1.0
+
+
+def _facet_endpoints(mesh):
+    """Global endpoint vertex ids of every facet in canonical lo->hi order."""
+    from ..mesh.triangle_mesh import LOCAL_FACET_VERTS
+
+    cp = mesh.facet_cells[:, 0]
+    lp = mesh.facet_local[:, 0]
+    va = mesh.cells[cp, LOCAL_FACET_VERTS[lp, 0]]
+    vb = mesh.cells[cp, LOCAL_FACET_VERTS[lp, 1]]
+    lo = np.minimum(va, vb)
+    hi = np.maximum(va, vb)
+    return np.stack([lo, hi], axis=1).astype(np.int32)
+
+
+def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
+    """Build the two-level preconditioner (setup; a few device matvecs for
+    eigenvalue estimates)."""
+    mesh = disc.mesh
+    geom = disc.geom
+    nv = mesh.n_vertices
+
+    facet_verts = _facet_endpoints(mesh)
+    trace_nodes = disc.Vt.nodes
+
+    # P1 stiffness: K_ab = area * g_a . g_b with physical gradients of the
+    # barycentric basis; area = detJ / 2
+    ghat = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+    gphys = np.einsum("ab,cbd->cad", ghat, mesh.jac_inv)  # (nc, 3, 2)
+    K_elem = 0.5 * mesh.det_jac[:, None, None] * np.einsum(
+        "cad,cbd->cab", gphys, gphys
+    )
+    K_diag = np.zeros(nv)
+    np.add.at(K_diag, mesh.cells, np.einsum("caa->ca", K_elem))
+
+    # sign of S: probe x^T S x with a random vector
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((geom.n_facets, cs.nt)), dtype=disc.dtype)
+    sx = trace_matvec(geom, cs, x)
+    sign = float(np.sign(float(jnp.vdot(x, sx))))
+
+    # eigenvalue estimates by power iteration on the Jacobi-preconditioned ops
+    def fine_op(v):
+        # D(S)^{-1} S == D(A)^{-1} A for A = sign*S (signs cancel); its
+        # spectrum is positive either way
+        return jnp.einsum("fij,fj->fi", cs.Sdiag_inv, trace_matvec(geom, cs, v))
+
+    v = jnp.asarray(rng.standard_normal((geom.n_facets, cs.nt)), dtype=disc.dtype)
+    for _ in range(power_iters):
+        v = fine_op(v)
+        v = v / jnp.linalg.norm(v)
+    lmax_fine = float(jnp.vdot(v, fine_op(v)))
+
+    cells_j = jnp.asarray(mesh.cells.astype(np.int32))
+    K_elem_j = jnp.asarray(K_elem, dtype=disc.dtype)
+    Kdi = jnp.asarray(1.0 / np.maximum(K_diag, 1e-300), dtype=disc.dtype)
+
+    def coarse_matvec(z):
+        loc = jnp.einsum("cab,cb->ca", K_elem_j, z[cells_j])
+        return jnp.zeros_like(z).at[cells_j].add(loc)
+
+    w = jnp.asarray(rng.standard_normal(nv), dtype=disc.dtype)
+    for _ in range(power_iters):
+        w = Kdi * coarse_matvec(w)
+        w = w / jnp.linalg.norm(w)
+    lmax_coarse = float(jnp.vdot(w, Kdi * coarse_matvec(w)))
+
+    return TwoLevelTracePC(
+        Sdiag_inv=cs.Sdiag_inv,
+        facet_verts=jnp.asarray(facet_verts),
+        trace_nodes=jnp.asarray(trace_nodes, dtype=disc.dtype),
+        K_elem=K_elem_j,
+        cells=cells_j,
+        K_diag_inv=Kdi,
+        sign=jnp.asarray(sign, dtype=disc.dtype),
+        n_vertices=nv,
+        cheb_fine=cheb_fine,
+        cheb_coarse=cheb_coarse,
+        lmax_fine=abs(lmax_fine),
+        lmax_coarse=abs(lmax_coarse),
+    )
+
+
+def _chebyshev(apply_A, apply_Minv, r, niter, lmax):
+    """Chebyshev iteration for A z = r targeting [0.1 lmax, 1.1 lmax]."""
+    lmin = 0.1 * lmax
+    lmax = 1.1 * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    z = apply_Minv(r) / theta
+    if niter == 1:
+        return z
+    d = z
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    for _ in range(niter - 1):
+        res = apply_Minv(r - apply_A(z))
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * res
+        rho = rho_new
+        z = z + d
+    return z
+
+
+def prolong(pc, zc):
+    """P1 vertex values -> trace dofs: linear interpolation along each facet."""
+    lo = zc[pc.facet_verts[:, 0]]
+    hi = zc[pc.facet_verts[:, 1]]
+    s = pc.trace_nodes[None, :]
+    return lo[:, None] * (1.0 - s) + hi[:, None] * s
+
+
+def restrict(pc, lam):
+    """Adjoint of prolong: (nf, nt) -> (nv,)."""
+    s = pc.trace_nodes[None, :]
+    out = jnp.zeros(pc.n_vertices, dtype=lam.dtype)
+    out = out.at[pc.facet_verts[:, 0]].add(jnp.sum(lam * (1.0 - s), axis=1))
+    out = out.at[pc.facet_verts[:, 1]].add(jnp.sum(lam * s, axis=1))
+    return out
+
+
+def gtmg_apply(geom, cs, pc, r_flat):
+    """Multiplicative two-level V-cycle approximating S^{-1} r (flat vectors)."""
+    nt = cs.nt
+    r = (pc.sign * r_flat).reshape(-1, nt)  # work with A = sign * S (positive)
+
+    def A(v):
+        return pc.sign * trace_matvec(geom, cs, v)
+
+    def Dinv(v):
+        return pc.sign * jnp.einsum("fij,fj->fi", cs.Sdiag_inv, v)
+
+    # pre-smooth
+    z = _chebyshev(A, Dinv, r, pc.cheb_fine, pc.lmax_fine)
+    # coarse correction
+    rc = restrict(pc, r - A(z))
+
+    def Ac(v):
+        loc = jnp.einsum("cab,cb->ca", pc.K_elem, v[pc.cells])
+        return jnp.zeros_like(v).at[pc.cells].add(loc)
+
+    def Dc(v):
+        return pc.K_diag_inv * v
+
+    zc = _chebyshev(Ac, Dc, rc, pc.cheb_coarse, pc.lmax_coarse)
+    z = z + prolong(pc, zc)
+    # post-smooth
+    z = z + _chebyshev(A, Dinv, r - A(z), pc.cheb_fine, pc.lmax_fine)
+    return (pc.sign * z).ravel()

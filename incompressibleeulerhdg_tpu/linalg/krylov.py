@@ -1,0 +1,194 @@
+"""Matrix-free Krylov solvers with iteration-count observables.
+
+TPU-native replacement for the PETSc KSP layer of the reference (GMRES on the
+condensed trace system, hdg_imex.py:135-137; GMRES+ILU tentative velocity
+solves, hdg_imex.py:224-228; iteration counts harvested at
+hdg_imex.py:265-271,281).  Everything is jittable: ``lax.while_loop`` drives
+the iteration, shapes are static, and the iteration count is returned as an
+array output so the caller can feed the reference's ``Averager`` analogue.
+
+Vectors are flat 1-D arrays; callers flatten/unflatten their field layouts.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["gmres", "cg", "deflate_constant"]
+
+
+def deflate_constant(nullvec):
+    """Return a projector v -> v - (nullvec . v) nullvec for a unit nullvec."""
+
+    def proj(v):
+        return v - nullvec * jnp.dot(nullvec, v)
+
+    return proj
+
+
+def _identity(v):
+    return v
+
+
+def gmres(
+    matvec,
+    b,
+    *,
+    M=None,
+    x0=None,
+    rtol=1e-12,
+    atol=0.0,
+    restart=30,
+    maxiter=200,
+    project=None,
+):
+    """Left-preconditioned restarted GMRES.
+
+    Solves ``M A x = M b``; convergence is declared when the preconditioned
+    residual norm drops below ``max(rtol * ||M b||, atol)`` (PETSc's default
+    convergence test for left preconditioning, matching the reference's
+    iteration-count observables).
+
+    :arg project: optional projector applied to b and to every operator
+        output — used for nullspace deflation of singular systems (the
+        TPU-native analogue of the PETSc nullspace handling at
+        hdg_imex.py:480-489).
+    :returns: (x, iters, relres)
+    """
+    M = M or _identity
+    project = project or _identity
+    n = b.shape[0]
+    m = restart
+    dtype = b.dtype
+
+    b = project(b)
+    Mb = M(b)
+    target = jnp.maximum(rtol * jnp.linalg.norm(Mb), atol).astype(dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    def op(v):
+        return M(project(matvec(v)))
+
+    tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+    def cycle(x):
+        """One GMRES(m) cycle; returns (x_new, res_norm, inner_iters)."""
+        r = M(project(b - matvec(x)))
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, tiny))
+        R = jnp.zeros((m, m), dtype)  # triangularised Hessenberg columns
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def arnoldi_step(state):
+            V, R, cs, sn, g, j, res = state
+            w = op(V[j])
+            # modified Gram-Schmidt as masked dense products
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h = (V @ w) * mask
+            w = w - V.T @ h
+            hnext = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(hnext, tiny))
+            h = h.at[j + 1].set(hnext)
+
+            # apply stored Givens rotations 0..j-1
+            def rot(i, h):
+                hi = cs[i] * h[i] + sn[i] * h[i + 1]
+                hi1 = -sn[i] * h[i] + cs[i] * h[i + 1]
+                use = i < j
+                h = h.at[i].set(jnp.where(use, hi, h[i]))
+                return h.at[i + 1].set(jnp.where(use, hi1, h[i + 1]))
+
+            h = lax.fori_loop(0, m, rot, h)
+
+            # new rotation annihilating h[j+1]
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            c_new = jnp.where(denom > tiny, h[j] / jnp.maximum(denom, tiny), 1.0)
+            s_new = jnp.where(denom > tiny, h[j + 1] / jnp.maximum(denom, tiny), 0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            h = h.at[j].set(denom).at[j + 1].set(0.0)
+            R = R.at[:, j].set(h[:m])
+            g = g.at[j + 1].set(-s_new * g[j])
+            g = g.at[j].set(c_new * g[j])
+            res = jnp.abs(g[j + 1])
+            return V, R, cs, sn, g, j + 1, res
+
+        def arnoldi_cond(state):
+            *_, j, res = state
+            return jnp.logical_and(j < m, res > target)
+
+        init = (V, R, cs, sn, g, jnp.int32(0), beta)
+        V, R, cs, sn, g, j_end, res = lax.while_loop(arnoldi_cond, arnoldi_step, init)
+
+        # solve the (masked) triangular system R[:j_end,:j_end] y = g[:j_end]
+        active = jnp.arange(m) < j_end
+        Rm = jnp.where(
+            jnp.logical_and(active[None, :], active[:, None]),
+            R,
+            jnp.eye(m, dtype=dtype),
+        )
+        gm = jnp.where(active, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+        x_new = x + V[:m].T @ y
+        return x_new, res, j_end
+
+    def outer_step(state):
+        x, _, iters, _ = state
+        x, res, j = cycle(x)
+        return x, res, iters + j, jnp.maximum(j, 1)
+
+    def outer_cond(state):
+        _, res, iters, last_j = state
+        return jnp.logical_and(res > target, jnp.logical_and(iters < maxiter, last_j > 0))
+
+    x, res, iters, _ = lax.while_loop(
+        outer_cond,
+        outer_step,
+        (x0, jnp.asarray(jnp.inf, dtype), jnp.int32(0), jnp.int32(1)),
+    )
+    relres = res / jnp.maximum(jnp.linalg.norm(Mb), tiny)
+    return x, iters, relres
+
+
+def cg(matvec, b, *, M=None, x0=None, rtol=1e-12, atol=0.0, maxiter=500, project=None):
+    """Preconditioned conjugate gradients with iteration count.
+
+    Convergence on the unpreconditioned residual 2-norm.
+    :returns: (x, iters, relres)
+    """
+    M = M or _identity
+    project = project or _identity
+    b = project(b)
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(rtol * bnorm, atol)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    r = project(b - matvec(x0))
+    z = project(M(r))
+    p = z
+    rz = jnp.dot(r, z)
+
+    def body(state):
+        x, r, z, p, rz, it, _ = state
+        Ap = project(matvec(p))
+        alpha = rz / jnp.dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = project(M(r))
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, z, p, rz_new, it + 1, jnp.linalg.norm(r)
+
+    def cond(state):
+        *_, it, res = state
+        return jnp.logical_and(res > target, it < maxiter)
+
+    state = (x0, r, z, p, rz, jnp.int32(0), jnp.linalg.norm(r))
+    x, r, *_, iters, res = lax.while_loop(cond, body, state)
+    return x, iters, res / jnp.maximum(bnorm, 1e-300)

@@ -1,0 +1,54 @@
+"""The HDG mixed-Poisson pressure solve: condense -> Krylov on traces -> recover.
+
+This is the TPU-native equivalent of the reference's
+``pressure_solve`` (/root/reference/src/timesteppers/hdg_imex.py:257-272):
+SCPC static condensation is the batched Schur-complement pipeline in
+``linalg/condense.py``, the condensed-field GMRES (rtol 1e-12,
+hdg_imex.py:135-137) is the deflated matrix-free GMRES below, and the
+GTMG preconditioner is (round 1) a facet-block-Jacobi / (later) two-level
+scheme.  The returned iteration count mirrors
+``condensed_ksp.getIterationNumber()`` (hdg_imex.py:265-271).
+"""
+
+import jax.numpy as jnp
+
+from .condense import trace_matvec, condense_rhs, back_substitute
+from .krylov import gmres, deflate_constant
+from .preconditioners import trace_block_jacobi
+
+__all__ = ["pressure_solve"]
+
+
+def pressure_solve(
+    geom,
+    cs,
+    f_u,
+    f_p,
+    f_lam,
+    *,
+    rtol=1.0e-12,
+    restart=30,
+    maxiter=500,
+    precond=None,
+):
+    """Solve the condensed HDG mixed-Poisson system for (u, p, lam).
+
+    :arg f_u: u-row right-hand side (nc, d1, 2)
+    :arg f_p: psi-row right-hand side (nc, d0)
+    :arg f_lam: mu-row right-hand side (nf, nt)
+    :returns: (u, p, lam, iteration count)
+    """
+    g = condense_rhs(geom, cs, f_u, f_p, f_lam).ravel()
+    nt = cs.nt
+
+    def matvec(v):
+        return trace_matvec(geom, cs, v.reshape(-1, nt)).ravel()
+
+    M = precond if precond is not None else trace_block_jacobi(cs)
+    project = deflate_constant(cs.nullvec.ravel())
+    lam_flat, iters, _ = gmres(
+        matvec, g, M=M, rtol=rtol, restart=restart, maxiter=maxiter, project=project
+    )
+    lam = lam_flat.reshape(-1, nt)
+    u, p = back_substitute(geom, cs, f_u, f_p, lam)
+    return u, p, lam, iters

@@ -1,0 +1,25 @@
+"""Batched small-matrix inverses that work on TPU in every dtype.
+
+TPU XLA only implements LuDecomposition for f32/c64, so ``jnp.linalg.inv`` on
+float64 batches fails to compile on device.  For the small well-conditioned
+element blocks used as preconditioners (mass + O(dt) advection, size 12-40),
+we invert in float32 and recover full float64 accuracy with Newton-Schulz
+iterations X <- X (2I - A X), which are pure batched matmuls (MXU-friendly):
+each sweep squares the residual, so ~3 sweeps take the f32 inverse (~1e-7
+error) to f64 roundoff.
+"""
+
+import jax.numpy as jnp
+
+__all__ = ["batched_inv"]
+
+
+def batched_inv(A, newton_steps=3):
+    """Inverse of a batch of small matrices (..., n, n), TPU-safe for f64."""
+    if A.dtype == jnp.float64:
+        X = jnp.linalg.inv(A.astype(jnp.float32)).astype(jnp.float64)
+        eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+        for _ in range(newton_steps):
+            X = X @ (2.0 * eye - A @ X)
+        return X
+    return jnp.linalg.inv(A)

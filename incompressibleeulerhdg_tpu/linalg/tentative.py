@@ -1,0 +1,55 @@
+"""Tentative (advective) velocity solve: matrix-free GMRES + block Jacobi.
+
+TPU-native equivalent of the reference's per-stage tentative velocity solver
+(GMRES + ILU, rtol 1e-10; /root/reference/src/timesteppers/hdg_imex.py:223-255
+and the in-loop solve of hdg_implicit.py:103-129).  The operator is
+
+    a(u, w) = (w, u) - c * f_impl(w, u, Q*),    c = a_ii * dt
+
+which couples neighbouring cells through the advective/penalty/upwind facet
+terms; the preconditioner is the batched inverse of its cell-diagonal blocks.
+"""
+
+import jax.numpy as jnp
+
+from ..ops.fields import mass_apply
+from ..ops.forms import f_impl_apply
+from .krylov import gmres
+from .preconditioners import tentative_block_jacobi_build, block_apply_cells
+
+__all__ = ["tentative_matvec", "tentative_solve"]
+
+
+def tentative_matvec(geom, star, u, c, alpha=1.0, upwind=True):
+    """Apply the tentative-velocity operator M - c * f_impl(., Q*)."""
+    return mass_apply(geom, geom.m1, u) - c * f_impl_apply(geom, star, u, alpha, upwind)
+
+
+def tentative_solve(
+    geom,
+    star,
+    rhs,
+    c,
+    *,
+    alpha=1.0,
+    upwind=True,
+    rtol=1.0e-10,
+    restart=30,
+    maxiter=200,
+    blocks_inv=None,
+):
+    """Solve (M - c f_impl) u = rhs.  Returns (u (nc, d1, 2), iters)."""
+    shape = rhs.shape
+    if blocks_inv is None:
+        blocks_inv = tentative_block_jacobi_build(geom, star, c, alpha, upwind)
+
+    def matvec(v):
+        return tentative_matvec(geom, star, v.reshape(shape), c, alpha, upwind).ravel()
+
+    def M(v):
+        return block_apply_cells(blocks_inv, v.reshape(shape)).ravel()
+
+    u, iters, _ = gmres(
+        matvec, rhs.ravel(), M=M, rtol=rtol, restart=restart, maxiter=maxiter
+    )
+    return u.reshape(shape), iters

@@ -1,0 +1,216 @@
+"""Triangle meshes as flat index arrays.
+
+Replaces the Firedrake/DMPlex mesh layer of the reference
+(``UnitSquareMesh`` / ``PeriodicSquareMesh`` / ``UnitDiskMesh`` at
+/root/reference/src/driver.py:181-185).  A mesh is a plain container of numpy
+arrays; all connectivity (interior/boundary facet tables,
+facet -> (cell, local facet, flip) maps, cell -> facet maps) is derived once at
+setup and later shipped to the device as static integer tables.
+
+Conventions
+-----------
+- Cells are triangles with counter-clockwise vertex order ``(v0, v1, v2)``.
+- Local facet ``l`` is opposite local vertex ``l``:
+      facet 0 = (v1, v2), facet 1 = (v2, v0), facet 2 = (v0, v1).
+  Traversed in this canonical order the outward normal of a CCW triangle is
+  the edge direction rotated by -90 degrees.
+- Every global facet has a canonical orientation: from its endpoint with the
+  smaller global vertex id to the larger.  A (cell, local facet) pair matches
+  the canonical orientation (``flip = 0``) or reverses it (``flip = 1``).
+- The facet normal ``normals[f]`` is the outward normal of the "plus" cell
+  (``facet_cells[f, 0]``); the minus cell (if any) sees ``-normals[f]``.
+- Interior facets are numbered first: ``f < n_interior_facets`` iff interior.
+- Periodic meshes identify vertices topologically; per-cell *unwrapped*
+  coordinates are stored in ``cell_coords`` so geometry is always local and
+  affine.  All downstream geometry uses ``cell_coords``, never ``vertices``.
+"""
+
+from dataclasses import dataclass, field
+import numpy as np
+
+__all__ = ["TriangleMesh", "build_mesh"]
+
+# local facet l of cell (v0,v1,v2) is (LOCAL_FACET_VERTS[l][0], LOCAL_FACET_VERTS[l][1])
+LOCAL_FACET_VERTS = np.array([[1, 2], [2, 0], [0, 1]], dtype=np.int32)
+
+# reference coordinates of the three vertices
+REF_VERTS = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+
+
+@dataclass
+class TriangleMesh:
+    """Immutable triangle mesh with full facet connectivity (all numpy, host-side)."""
+
+    vertices: np.ndarray  # (nv, 2) float64 — topological vertex positions
+    cells: np.ndarray  # (nc, 3) int32 — CCW vertex ids (topological)
+    cell_coords: np.ndarray  # (nc, 3, 2) float64 — per-cell (unwrapped) vertex coords
+
+    # facet tables (interior facets first)
+    facet_cells: np.ndarray = field(default=None)  # (nf, 2) int32, -1 for missing minus
+    facet_local: np.ndarray = field(default=None)  # (nf, 2) int32 local facet ids
+    facet_flip: np.ndarray = field(default=None)  # (nf, 2) int32 0/1 orientation
+    n_interior_facets: int = 0
+
+    # cell -> facet maps
+    cell_facets: np.ndarray = field(default=None)  # (nc, 3) int32 global facet id
+    cell_facet_side: np.ndarray = field(default=None)  # (nc, 3) int32 0 = plus, 1 = minus
+
+    # geometry
+    normals: np.ndarray = field(default=None)  # (nf, 2) outward from plus cell
+    facet_lengths: np.ndarray = field(default=None)  # (nf,)
+    jac: np.ndarray = field(default=None)  # (nc, 2, 2) d x / d xhat
+    jac_inv: np.ndarray = field(default=None)  # (nc, 2, 2)
+    det_jac: np.ndarray = field(default=None)  # (nc,) > 0
+    periodic: bool = False
+
+    @property
+    def n_cells(self):
+        return self.cells.shape[0]
+
+    @property
+    def n_vertices(self):
+        return self.vertices.shape[0]
+
+    @property
+    def n_facets(self):
+        return self.facet_cells.shape[0]
+
+    @property
+    def n_boundary_facets(self):
+        return self.n_facets - self.n_interior_facets
+
+    def map_to_physical(self, ref_pts):
+        """Map reference points (np_, 2) into every cell: (nc, np_, 2)."""
+        lam = np.stack(
+            [1.0 - ref_pts[:, 0] - ref_pts[:, 1], ref_pts[:, 0], ref_pts[:, 1]], axis=-1
+        )  # barycentric (np_, 3)
+        return np.einsum("pl,cld->cpd", lam, self.cell_coords)
+
+    @property
+    def domain_volume(self):
+        return float(np.sum(self.det_jac) / 2.0)
+
+
+def _orient_ccw(cells, coords):
+    """Flip cells with negative orientation so all are CCW (in unwrapped coords)."""
+    e1 = coords[:, 1] - coords[:, 0]
+    e2 = coords[:, 2] - coords[:, 0]
+    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    flip = det < 0
+    cells = cells.copy()
+    coords = coords.copy()
+    cells[flip, 1], cells[flip, 2] = cells[flip, 2], cells[flip, 1].copy()
+    coords[flip, 1], coords[flip, 2] = coords[flip, 2], coords[flip, 1].copy()
+    return cells, coords
+
+
+def build_mesh(vertices, cells, cell_coords=None, periodic=False):
+    """Construct a TriangleMesh with full connectivity from vertices + cells.
+
+    :arg vertices: (nv, 2) vertex positions (topological; representative coords
+        for periodic meshes)
+    :arg cells: (nc, 3) vertex ids
+    :arg cell_coords: optional (nc, 3, 2) unwrapped per-cell coordinates;
+        defaults to ``vertices[cells]``
+    :arg periodic: purely informational flag
+    """
+    vertices = np.asarray(vertices, dtype=np.float64)
+    cells = np.asarray(cells, dtype=np.int32)
+    if cell_coords is None:
+        cell_coords = vertices[cells]
+    cell_coords = np.asarray(cell_coords, dtype=np.float64)
+    cells, cell_coords = _orient_ccw(cells, cell_coords)
+
+    nc = cells.shape[0]
+    # enumerate all (cell, local facet) half-facets with canonical (sorted) keys
+    half_v = cells[:, LOCAL_FACET_VERTS]  # (nc, 3, 2) endpoint gids in local order
+    lo = np.minimum(half_v[..., 0], half_v[..., 1])
+    hi = np.maximum(half_v[..., 0], half_v[..., 1])
+    keys = lo.astype(np.int64) * (vertices.shape[0] + 1) + hi.astype(np.int64)
+    flat_keys = keys.ravel()  # index = 3*cell + local
+    uniq, inverse, counts = np.unique(flat_keys, return_inverse=True, return_counts=True)
+    nf = uniq.shape[0]
+
+    facet_cells = np.full((nf, 2), -1, dtype=np.int32)
+    facet_local = np.zeros((nf, 2), dtype=np.int32)
+    facet_flip = np.zeros((nf, 2), dtype=np.int32)
+    seen = np.zeros(nf, dtype=np.int32)
+    flips_flat = (half_v[..., 0] > half_v[..., 1]).astype(np.int32).ravel()
+    order = np.argsort(inverse, kind="stable")  # group half-facets by facet id
+    for idx in order:
+        f = inverse[idx]
+        side = seen[f]
+        facet_cells[f, side] = idx // 3
+        facet_local[f, side] = idx % 3
+        facet_flip[f, side] = flips_flat[idx]
+        seen[f] += 1
+    assert np.all(counts <= 2), "non-manifold edge detected"
+
+    # reorder: interior first
+    interior = counts == 2
+    perm = np.concatenate([np.nonzero(interior)[0], np.nonzero(~interior)[0]])
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(nf)
+    facet_cells = facet_cells[perm]
+    facet_local = facet_local[perm]
+    facet_flip = facet_flip[perm]
+    n_interior = int(interior.sum())
+
+    # cell -> facets
+    cell_facets = inv_perm[inverse].reshape(nc, 3).astype(np.int32)
+    cell_facet_side = np.zeros((nc, 3), dtype=np.int32)
+    for l in range(3):
+        f = cell_facets[:, l]
+        cell_facet_side[:, l] = (facet_cells[f, 1] == np.arange(nc)).astype(np.int32)
+
+    # geometry (from unwrapped per-cell coords)
+    e1 = cell_coords[:, 1] - cell_coords[:, 0]
+    e2 = cell_coords[:, 2] - cell_coords[:, 0]
+    jac = np.stack([e1, e2], axis=-1)  # columns are edge vectors
+    det = jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0]
+    assert np.all(det > 0)
+    jac_inv = (
+        np.stack(
+            [
+                np.stack([jac[:, 1, 1], -jac[:, 0, 1]], axis=-1),
+                np.stack([-jac[:, 1, 0], jac[:, 0, 0]], axis=-1),
+            ],
+            axis=1,
+        )
+        / det[:, None, None]
+    )
+
+    # facet geometry from the plus cell, in canonical (lo -> hi gid) orientation
+    cp = facet_cells[:, 0]
+    lp = facet_local[:, 0]
+    a_loc = LOCAL_FACET_VERTS[lp, 0]
+    b_loc = LOCAL_FACET_VERTS[lp, 1]
+    pa = cell_coords[cp, a_loc]  # local canonical start (in plus cell)
+    pb = cell_coords[cp, b_loc]
+    # canonical global direction: local order if flip == 0 else reversed
+    fl = facet_flip[:, 0].astype(bool)
+    start = np.where(fl[:, None], pb, pa)
+    end = np.where(fl[:, None], pa, pb)
+    tang = end - start
+    lengths = np.linalg.norm(tang, axis=-1)
+    # outward normal of plus cell: local edge direction (pa -> pb) rotated -90
+    edge = pb - pa
+    normals = np.stack([edge[:, 1], -edge[:, 0]], axis=-1) / lengths[:, None]
+
+    return TriangleMesh(
+        vertices=vertices,
+        cells=cells,
+        cell_coords=cell_coords,
+        facet_cells=facet_cells,
+        facet_local=facet_local,
+        facet_flip=facet_flip,
+        n_interior_facets=n_interior,
+        cell_facets=cell_facets,
+        cell_facet_side=cell_facet_side,
+        normals=normals,
+        facet_lengths=lengths,
+        jac=jac,
+        jac_inv=jac_inv,
+        det_jac=det,
+        periodic=periodic,
+    )

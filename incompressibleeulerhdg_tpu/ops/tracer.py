@@ -1,0 +1,58 @@
+"""Passive tracer advection: upwind DG transport against a DG mass matrix.
+
+Rebuild of ``IncompressibleEuler._tracer_advection``
+(/root/reference/src/timesteppers/common.py:110-129) and the per-step tracer
+solves of every scheme (e.g. hdg_implicit.py:94-96,193).
+
+The advection form (explicit Euler within a step, explicit tableau in IMEX):
+
+    adv(chi, q, u) = int_dx q div(chi u)
+                     - int_dS (chi+ - chi-) (un+ q+ - un- q-)
+    un = (u.n + |u.n|) / 2 per side (upwind flux)
+
+The reference projects the advecting velocity onto a continuous CG space
+first (common.py:121-122); that projection lives in ops/cg_projection.py and
+is applied by the timesteppers before calling :func:`tracer_advection_apply`
+when ``project_onto_cg`` is requested.
+"""
+
+import jax.numpy as jnp
+
+from . import fields as F
+
+__all__ = ["tracer_advection_apply", "tracer_step"]
+
+
+def tracer_advection_apply(geom, q, u):
+    """Coefficients of adv(chi, q, u) in the DG(k) tracer test space.
+
+    :arg q: tracer (nc, d0)
+    :arg u: advecting velocity (nc, d1, 2) — assumed (approximately)
+        continuous; facet fluxes use each side's own trace as the reference
+        does after CG projection
+    """
+    # volume: q (u . grad chi + chi div u)
+    q_q = F.cell_values(geom.phi0, q)  # (nc, nq)
+    u_q = F.cell_values(geom.phi1, u)  # (nc, nq, 2)
+    divu = F.cell_div(geom, u)  # (nc, nq)
+    gphys0 = jnp.einsum("qib,cba->cqia", geom.gphi0, geom.jac_inv)
+    r = jnp.einsum("c,q,cq,cqa,cqia->ci", geom.det_jac, geom.wq, q_q, u_q, gphys0)
+    r = r + F.cell_integrate(geom, geom.phi0, q_q * divu)
+
+    # facet: -(chi+ - chi-)(un+ q+ - un- q-), interior only
+    q0, q1 = F.facet_traces(geom, geom.tphi0, q)
+    u0, u1 = F.facet_traces(geom, geom.tphi1, u)
+    un0 = jnp.einsum("fqc,fc->fq", u0, geom.normal)
+    un1 = -jnp.einsum("fqc,fc->fq", u1, geom.normal)  # minus side outward normal
+    up0 = 0.5 * (un0 + jnp.abs(un0))
+    up1 = 0.5 * (un1 + jnp.abs(un1))
+    flux = (up0 * q0 - up1 * q1) * F.interior_mask(geom)
+    g0 = -flux
+    g1 = +flux
+    return r + F.scatter_facets(geom, geom.tphi0, g0, g1)
+
+
+def tracer_step(geom, q, u, dt):
+    """One explicit tracer step: solve M q_new = M q + dt adv(chi, q, u)."""
+    b = F.mass_apply(geom, geom.m0, q) + dt * tracer_advection_apply(geom, q, u)
+    return F.mass_solve(geom, geom.m0inv, b)

@@ -1,0 +1,66 @@
+"""Mesh-sharded SPMD over a ``jax.sharding.Mesh`` of TPU devices.
+
+The reference's only distribution axis is MPI domain decomposition inherited
+from Firedrake/PETSc (SURVEY.md section 2.4); its TPU-native equivalent is
+*cell/facet sharding*: every array whose leading axis is ``n_cells`` or
+``n_facets`` is partitioned across a 1-D device mesh, everything else
+(reference tabulations, per-class operator tables) is replicated.  Under
+``jit``, GSPMD then inserts the halo-exchange collectives for the
+facet<->cell gathers/scatters automatically; global reductions (pressure
+means, Krylov dot products — the ``assemble(p*dx)`` analogues) become
+``psum`` over ICI.
+
+No TP/PP/EP analogue exists for this workload — the scaling dimension is
+mesh resolution, and cell sharding is its data parallelism (SURVEY.md
+sections 2.4, 5.7-5.8).
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_device_mesh", "shard_discretisation", "shard_state"]
+
+AXIS = "cells"
+
+
+def make_device_mesh(n_devices=None, devices=None):
+    """1-D device mesh over the first n available devices."""
+    if devices is None:
+        devices = jax.devices()[: (n_devices or len(jax.devices()))]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _spec_for(arr, n_cells, n_facets):
+    if hasattr(arr, "ndim") and arr.ndim >= 1 and arr.shape[0] in (n_cells, n_facets):
+        return P(AXIS)
+    return P()
+
+
+def shard_pytree(tree, mesh, n_cells, n_facets):
+    """device_put every leaf with cell/facet sharding on the leading axis."""
+
+    def put(leaf):
+        spec = _spec_for(leaf, n_cells, n_facets)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def shard_discretisation(disc, mesh, *extra_trees):
+    """Shard the Geom pytree (and any extra operator pytrees) over the mesh.
+
+    Returns (sharded geom, sharded extras...).  ``n_cells``/``n_facets`` are
+    taken from the discretisation so per-class tables stay replicated.
+    """
+    nc = disc.geom.n_cells
+    nf = disc.geom.n_facets
+    out = [shard_pytree(disc.geom, mesh, nc, nf)]
+    for t in extra_trees:
+        out.append(shard_pytree(t, mesh, nc, nf))
+    return tuple(out)
+
+
+def shard_state(state, mesh, n_cells, n_facets):
+    """Shard a state pytree (velocity/pressure/trace arrays)."""
+    return shard_pytree(state, mesh, n_cells, n_facets)

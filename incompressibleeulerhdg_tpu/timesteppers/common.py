@@ -1,0 +1,101 @@
+"""Abstract timestepper base: shared FEM operations and the ``solve`` contract.
+
+TPU-native rebuild of ``IncompressibleEuler``
+(/root/reference/src/timesteppers/common.py:15-144):
+
+- the ``1/h_F`` facet field (common.py:36-57) is ``geom.hF_inv`` (exact edge
+  lengths instead of a loopy par_loop)
+- BDM projection with multiplicity averaging + zero-normal BC
+  (common.py:91-108) is the batched moment pipeline in ops/projection.py
+- ``get_timesteps`` mirrors common.py:75-84 including the divisibility assert
+- the upwind DG tracer advection form (common.py:110-129) is implemented in
+  ops/tracer.py and shared by all concrete schemes
+"""
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import fields as F
+from ..ops.projection import build_bdm_projection, project_bdm
+
+__all__ = ["IncompressibleEuler"]
+
+
+class IncompressibleEuler(ABC):
+    """Abstract base class for timesteppers of the incompressible Euler equation.
+
+    :arg disc: HDGDiscretisation (mesh + degree + dtype)
+    :arg dt: timestep size
+    :arg label: name of the timestepping method
+    """
+
+    def __init__(self, disc, dt, label=None):
+        self.disc = disc
+        self.geom = disc.geom
+        self.degree = disc.degree
+        self._dt = float(dt)
+        self._label = label
+        self.domain_volume = disc.domain_volume
+        self._proj = build_bdm_projection(disc)
+
+    @property
+    def label(self):
+        """Label of method (reference common.py:86-89)."""
+        return self._label
+
+    def get_timesteps(self, t_final, warmup):
+        """Number of timesteps; asserts dt divides t_final (common.py:75-84)."""
+        nt = 1 if warmup else int(np.round(t_final / self._dt))
+        assert warmup or (abs(nt * self._dt - t_final) < 1.0e-12)
+        return nt
+
+    def project_bdm(self, Q):
+        """H(div)-conforming averaging projection (common.py:91-108)."""
+        return project_bdm(self.geom, self._proj, Q)
+
+    def pressure_mean(self, p):
+        """Integral mean of a DG(k) pressure field."""
+        return F.integral(self.geom, self.geom.phi0, p) / self.domain_volume
+
+    def shift_pressure(self, p):
+        """Shift pressure to zero mean."""
+        return p - self.pressure_mean(p)
+
+    def velocity_error_norm(self, Q, Q_exact):
+        """L2 norm of the velocity error (driver.py:376-379 analogue)."""
+        return float(jnp.sqrt(F.l2_norm_sq(self.geom, self.geom.phi1, Q - Q_exact)))
+
+    def pressure_error_norm(self, p, p_exact):
+        """L2 norm of the pressure error (driver.py:377-380 analogue)."""
+        return float(jnp.sqrt(F.l2_norm_sq(self.geom, self.geom.phi0, p - p_exact)))
+
+
+    @property
+    def rtol_pressure(self):
+        """Condensed-field GMRES tolerance (1e-12 in the reference,
+        hdg_imex.py:137); loosened in float32 where 1e-12 is unreachable."""
+        import jax.numpy as jnp
+
+        return 1.0e-12 if self.disc.dtype == jnp.float64 else 2.0e-6
+
+    @property
+    def rtol_tentative(self):
+        """Tentative-velocity GMRES tolerance (1e-10, hdg_imex.py:226)."""
+        import jax.numpy as jnp
+
+        return 1.0e-10 if self.disc.dtype == jnp.float64 else 1.0e-6
+
+    @abstractmethod
+    def solve(self, Q_initial, p_initial, q_initial, f_rhs, T_final, warmup=False):
+        """Propagate (Q, p) from the initial state to T_final.
+
+        :arg Q_initial: initial velocity expression ``(x, y) -> (u, v)``
+        :arg p_initial: initial pressure expression ``(x, y) -> p``
+        :arg q_initial: initial tracer expression or None
+        :arg f_rhs: ``t -> ((x, y) -> (fx, fy))`` forcing factory
+        :arg T_final: final time
+        :arg warmup: perform a single timestep only
+        :returns: (Q, p) final coefficient arrays
+        """

@@ -1,0 +1,424 @@
+"""HDG IMEX timestepper framework — the flagship scheme family.
+
+TPU-native rebuild of ``IncompressibleEulerHDGIMEX`` and its five concrete
+tableaus (/root/reference/src/timesteppers/hdg_imex.py:22-1038).
+
+Per timestep (projection path, hdg_imex.py:550-646), all inside ONE jitted
+function:
+  - evaluate the forcing at the stage times c_i (hdg_imex.py:554-557)
+  - for each stage i = 1..s-1:
+      * Q*_{i-1} = project_bdm(Q_{i-1})           (hdg_imex.py:563-567)
+      * n_richardson Richardson sweeps (hdg_imex.py:568-599): tentative
+        GMRES solve -> condensed-trace pressure solve -> increment update
+        (stage states carry over between timesteps exactly as the
+        reference's persistent Functions do, so the fixed-sweep Richardson
+        starts from the previous step's stage values)
+      * pressure/trace mean shift (hdg_imex.py:621)
+  - final-stage mixed solve with the unrolled final residual (hdg_imex.py:624)
+  - pressure reconstruction from the new velocity (hdg_imex.py:628-636)
+
+The recursive residual construction (hdg_imex.py:367-413) is unrolled at
+setup into dense coefficient matrices (timesteppers/tableaus.py); iteration
+counts of every solve are returned from the jitted step and fed to Averagers,
+mirroring hdg_imex.py:90-93,648-658.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import tqdm
+
+from .common import IncompressibleEuler
+from .tableaus import TABLEAUS, unroll_residual_coefficients
+from ..ops import fields as F
+from ..ops.forms import (
+    star_fields,
+    f_impl_apply,
+    pressure_gradient_apply,
+    weak_divergence_apply,
+    trace_mass_apply,
+    reconstruct_trace_rhs,
+)
+from ..ops.projection import project_bdm
+from ..ops.reconstruction import pressure_reconstruction_rhs
+from ..ops.tracer import tracer_advection_apply
+from ..linalg.condense import build_condensed_system
+from ..linalg.gtmg import build_gtmg, gtmg_apply
+from ..linalg.pressure import pressure_solve
+from ..linalg.tentative import tentative_solve
+from ..linalg.monolithic import monolithic_stage_solve
+from ..utils.logging import PerformanceLog, Averager
+
+__all__ = [
+    "IncompressibleEulerHDGIMEX",
+    "IncompressibleEulerHDGIMEXImplicit",
+    "IncompressibleEulerHDGIMEXARS2_232",
+    "IncompressibleEulerHDGIMEXARS3_443",
+    "IncompressibleEulerHDGIMEXSSP2_332",
+    "IncompressibleEulerHDGIMEXSSP3_433",
+]
+
+
+class IncompressibleEulerHDGIMEX(IncompressibleEuler):
+    """IMEX timestepper parameterised by a Butcher tableau.
+
+    :arg disc: HDGDiscretisation
+    :arg dt: timestep size
+    :arg flux: "upwind" or "centered"
+    :arg use_projection_method: Richardson + projection instead of monolithic
+    :arg n_richardson: number of Richardson iterations
+    :arg callbacks: per-timestep callbacks
+    """
+
+    tableau_name = None  # set by subclasses
+
+    def __init__(
+        self,
+        disc,
+        dt,
+        flux="upwind",
+        use_projection_method=True,
+        n_richardson=2,
+        label=None,
+        callbacks=None,
+    ):
+        tab = TABLEAUS[self.tableau_name]
+        super().__init__(disc, dt, label or tab.label)
+        self.flux = flux
+        assert self.flux in ["upwind", "centered"]
+        self.use_projection_method = use_projection_method
+        self.n_richardson = n_richardson
+        self.callbacks = [] if callbacks is None else callbacks
+        # penalty and stabilisation parameters (hdg_imex.py:55-58)
+        self.alpha_penalty = 1.0
+        self.tau = 1.0
+        self.tableau = tab
+
+        self._alpha, self._beta, self._alpha_f, self._beta_f = (
+            unroll_residual_coefficients(tab)
+        )
+        self._cs = build_condensed_system(disc, tau=self.tau)
+        self._gtmg = build_gtmg(disc, self._cs)
+
+        self.niter_tentative = Averager()
+        self.niter_pressure = Averager()
+        self.niter_final_pressure = Averager()
+        self.niter_pressure_reconstruction = Averager()
+
+        self._step_cache = {}
+
+    # ------------------------------------------------------------------
+
+    @property
+    def nstages(self):
+        return self.tableau.nstages
+
+    def _get_step(self, f_rhs_fn, with_tracer):
+        key = (id(f_rhs_fn), with_tracer)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(self._make_step(f_rhs_fn, with_tracer))
+        return self._step_cache[key]
+
+    def _make_step(self, f_rhs_fn, with_tracer):
+        geom = self.geom
+        proj = self._proj
+        cs = self._cs
+        pc = self._gtmg
+        precond = lambda v: gtmg_apply(geom, cs, pc, v)
+        dt = self._dt
+        tab = self.tableau
+        s = tab.nstages
+        a_impl = tab.a_impl
+        c_expl = tab.c_expl
+        alpha, beta = self._alpha, self._beta
+        alpha_f, beta_f = self._alpha_f, self._beta_f
+        upwind = self.flux == "upwind"
+        pen = self.alpha_penalty
+        vol = self.domain_volume
+        n_rich = self.n_richardson
+        projection = self.use_projection_method
+        rtol_p = self.rtol_pressure
+        rtol_t = self.rtol_tentative
+        interp_velocity = self.disc.interpolate_velocity
+
+        def mass(u):
+            return F.mass_apply(geom, geom.m1, u)
+
+        def shift(p, lam):
+            m = F.integral(geom, geom.phi0, p) / vol
+            return p - m, lam - m
+
+        def step(stage_Q, stage_p, stage_lam, tn, q_tracer):
+            """One IMEX timestep.
+
+            stage_Q/p/lam: lists (length s) of per-stage states carried over;
+            index 0 holds the current solution.
+            """
+            its_tent, its_p = [], []
+            stage_Q, stage_p, stage_lam = list(stage_Q), list(stage_p), list(stage_lam)
+            # forcing at stage times (hdg_imex.py:554-557)
+            b_rhs = [interp_velocity(f_rhs_fn(tn + c_expl[i] * dt)) for i in range(s)]
+            Mb = [mass(b) for b in b_rhs]
+            MQ = [mass(stage_Q[0])]
+            q_stages = [q_tracer] if with_tracer else None
+
+            for i in range(1, s):
+                c = a_impl[i, i] * dt
+                Qstar = project_bdm(geom, proj, stage_Q[i - 1])
+                star = star_fields(geom, Qstar)
+                # unrolled residual r_i (hdg_imex.py:367-391)
+                r_i = sum(alpha[i, j] * MQ[j] for j in range(i) if alpha[i, j] != 0)
+                r_i = r_i + sum(
+                    dt * beta[i, j] * Mb[j] for j in range(i) if beta[i, j] != 0
+                )
+                Q_i, p_i, lam_i = stage_Q[i], stage_p[i], stage_lam[i]
+                if projection:
+                    for _ in range(n_rich):
+                        # tentative rhs (hdg_imex.py:239-247)
+                        b_tent = (
+                            r_i
+                            - mass(Q_i)
+                            + c
+                            * (
+                                f_impl_apply(geom, star, Q_i, pen, upwind)
+                                + pressure_gradient_apply(geom, p_i, lam_i)
+                            )
+                        )
+                        dQt, n_t = tentative_solve(
+                            geom, star, b_tent, c, alpha=pen, upwind=upwind, rtol=rtol_t
+                        )
+                        its_tent.append(n_t)
+                        # mixed-Poisson update (hdg_imex.py:177-179)
+                        f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt)
+                        du, dp, dlam, n_p = pressure_solve(
+                            geom,
+                            cs,
+                            jnp.zeros_like(Q_i),
+                            f_p,
+                            jnp.zeros_like(lam_i),
+                            rtol=rtol_p,
+                            precond=precond,
+                        )
+                        its_p.append(n_p)
+                        dp, dlam = shift(dp, dlam)  # hdg_imex.py:579
+                        Q_i = Q_i + dQt + c * du
+                        p_i = p_i + dp
+                        lam_i = lam_i + dlam
+                else:
+                    Q_i, p_i, lam_i, n_t, n_p = monolithic_stage_solve(
+                        geom,
+                        cs,
+                        star,
+                        r_i,
+                        c,
+                        alpha=pen,
+                        upwind=upwind,
+                        rtol=10 * rtol_p,
+                        x0=(Q_i, p_i, lam_i),
+                        precond=precond,
+                    )
+                    its_tent.append(n_t)
+                    its_p.append(n_p)
+                p_i, lam_i = shift(p_i, lam_i)  # hdg_imex.py:621
+                stage_Q[i], stage_p[i], stage_lam[i] = Q_i, p_i, lam_i
+                MQ.append(mass(Q_i))
+                if q_stages is not None:
+                    # tracer stage solve (hdg_imex.py:415-432,623)
+                    b_q = F.mass_apply(geom, geom.m0, q_stages[0])
+                    for j in range(i):
+                        if tab.a_expl[i, j] != 0:
+                            b_q = b_q + dt * tab.a_expl[i, j] * tracer_advection_apply(
+                                geom, q_stages[j], Q_i
+                            )
+                    q_stages.append(F.mass_solve(geom, geom.m0inv, b_q))
+
+            # final stage mixed solve (hdg_imex.py:190-198,624)
+            r_fin = sum(alpha_f[j] * MQ[j] for j in range(s) if alpha_f[j] != 0)
+            r_fin = r_fin + sum(
+                dt * beta_f[j] * Mb[j] for j in range(s) if beta_f[j] != 0
+            )
+            Q_new, p_new, lam_new, n_fp = pressure_solve(
+                geom,
+                cs,
+                r_fin,
+                jnp.zeros((geom.n_cells, geom.d0), r_fin.dtype),
+                jnp.zeros((geom.n_facets, cs.nt), r_fin.dtype),
+                rtol=rtol_p,
+                precond=precond,
+            )
+
+            # pressure reconstruction (hdg_imex.py:200-221,628-636)
+            b_new = interp_velocity(f_rhs_fn(tn + dt))
+            f_p, f_lam = pressure_reconstruction_rhs(geom, Q_new, b_new)
+            _, p_new, lam_new, n_pr = pressure_solve(
+                geom, cs, jnp.zeros_like(Q_new), f_p, f_lam, rtol=rtol_p,
+                precond=precond,
+            )
+            p_new, lam_new = shift(p_new, lam_new)  # hdg_imex.py:637
+
+            # tracer final solve (hdg_imex.py:434-448,638-639)
+            q_new = None
+            if q_stages is not None:
+                b_q = F.mass_apply(geom, geom.m0, q_stages[0])
+                for i in range(s):
+                    if tab.b_expl[i] != 0:
+                        b_q = b_q + dt * tab.b_expl[i] * tracer_advection_apply(
+                            geom, q_stages[i], stage_Q[i]
+                        )
+                q_new = F.mass_solve(geom, geom.m0inv, b_q)
+
+            stage_Q[0], stage_p[0], stage_lam[0] = Q_new, p_new, lam_new
+            counts = dict(
+                tentative=jnp.stack(its_tent),
+                pressure=jnp.stack(its_p),
+                final_pressure=n_fp,
+                reconstruction=n_pr,
+            )
+            return stage_Q, stage_p, stage_lam, q_new, counts
+
+        return step
+
+    # ------------------------------------------------------------------
+
+    def test_pressure_solver(self, seed=123456789):
+        """Standalone pressure-solver benchmark (driver.py:308-324) with a
+        working signature: seeded random velocity rhs b = (f_Q, w) dx, one
+        warm-up solve, one timed solve.  Returns (seconds, iterations)."""
+        import time as _time
+        from ..linalg.pressure import pressure_solve as _ps
+
+        geom = self.geom
+        rng = np.random.default_rng(seed)
+        f_Q = jnp.asarray(
+            rng.standard_normal((geom.n_cells, geom.d1, 2)), dtype=self.disc.dtype
+        )
+        f_u = F.mass_apply(geom, geom.m1, f_Q)
+        zp = jnp.zeros((geom.n_cells, geom.d0), dtype=self.disc.dtype)
+        zl = jnp.zeros((geom.n_facets, self._cs.nt), dtype=self.disc.dtype)
+        from ..linalg.gtmg import gtmg_apply as _ga
+
+        cs = self._cs
+        pc = self._gtmg
+        solve = jax.jit(
+            lambda b: _ps(
+                geom, cs, b, zp, zl, rtol=1e-12,
+                precond=lambda v: _ga(geom, cs, pc, v),
+            )
+        )
+        out = solve(f_u)  # warm-up (compile + solve)
+        jax.block_until_ready(out)
+        t0 = _time.perf_counter()
+        out = solve(f_u)
+        jax.block_until_ready(out)
+        t1 = _time.perf_counter()
+        return t1 - t0, int(out[3])
+
+    def _reconstruct_trace(self, Q, p):
+        """Facet mass solve for lambda(0) (hdg_imex.py:450-469)."""
+        geom = self.geom
+        rhs = reconstruct_trace_rhs(geom, Q, p, tau=self.tau)
+        fac = jnp.where(
+            jnp.arange(geom.n_facets) < geom.n_int, 2.0 * self.tau, self.tau
+        )
+        return jnp.einsum("ij,fj->fi", geom.mtinv, rhs) / (fac * geom.flen)[:, None]
+
+    def solve(self, Q_initial, p_initial, q_initial, f_rhs, T_final, warmup=False):
+        """Timestepping loop (hdg_imex.py:505-660)."""
+        geom = self.geom
+        s = self.nstages
+        nt = self.get_timesteps(T_final, warmup)
+        Q0 = self.disc.interpolate_velocity(Q_initial)
+        p0 = self.shift_pressure(self.disc.interpolate_pressure(p_initial))
+        lam0 = self._reconstruct_trace(Q0, p0)
+        q_tracer = (
+            self.disc.interpolate_pressure(q_initial) if q_initial is not None else None
+        )
+
+        zeroQ = jnp.zeros_like(Q0)
+        zerop = jnp.zeros_like(p0)
+        zerol = jnp.zeros_like(lam0)
+        stage_Q = [Q0] + [zeroQ] * (s - 1)
+        stage_p = [p0] + [zerop] * (s - 1)
+        stage_lam = [lam0] + [zerol] * (s - 1)
+
+        for av in (
+            self.niter_tentative,
+            self.niter_pressure,
+            self.niter_final_pressure,
+            self.niter_pressure_reconstruction,
+        ):
+            av.reset()
+        for callback in self.callbacks:
+            callback.reset()
+            callback(stage_Q[0], stage_p[0], 0.0, q_tracer=q_tracer)
+
+        step_fn = self._get_step(f_rhs, q_tracer is not None)
+        dummy_q = q_tracer if q_tracer is not None else zerop
+        for k in tqdm.tqdm(range(nt)):
+            with PerformanceLog("timestep"):
+                tn = jnp.asarray(k * self._dt, dtype=self.disc.dtype)
+                stage_Q, stage_p, stage_lam, q_new, counts = step_fn(
+                    stage_Q, stage_p, stage_lam, tn, dummy_q
+                )
+                if q_tracer is not None:
+                    dummy_q = q_new
+                if q_tracer is not None:
+                    q_tracer = q_new
+                jax.block_until_ready(stage_Q[0])
+            for n in np.asarray(counts["tentative"]):
+                self.niter_tentative.update(int(n))
+            for n in np.asarray(counts["pressure"]):
+                self.niter_pressure.update(int(n))
+            self.niter_final_pressure.update(int(counts["final_pressure"]))
+            self.niter_pressure_reconstruction.update(int(counts["reconstruction"]))
+            for callback in self.callbacks:
+                callback(stage_Q[0], stage_p[0], tn + self._dt, q_tracer=q_tracer)
+
+        print("average number of solver iterations")
+        print(40 * "-")
+        print(f"  tentative velocity its      : {self.niter_tentative.value:8.2f}")
+        if self.use_projection_method:
+            print(f"  pressure its                : {self.niter_pressure.value:8.2f}")
+            print(
+                f"  final pressure its          : {self.niter_final_pressure.value:8.2f}"
+            )
+        print(
+            f"  pressure reconstruction its : {self.niter_pressure_reconstruction.value:8.2f}"
+        )
+        print()
+        return stage_Q[0], stage_p[0]
+
+
+# ---------------------------------------------------------------------------
+#  concrete tableaus (hdg_imex.py:668-1038)
+# ---------------------------------------------------------------------------
+
+
+class IncompressibleEulerHDGIMEXImplicit(IncompressibleEulerHDGIMEX):
+    """First-order implicit method as IMEX (hdg_imex.py:668-729)."""
+
+    tableau_name = "imex_implicit"
+
+
+class IncompressibleEulerHDGIMEXARS2_232(IncompressibleEulerHDGIMEX):
+    """ARS2(2,3,2) (hdg_imex.py:732-799)."""
+
+    tableau_name = "imex_ars2_232"
+
+
+class IncompressibleEulerHDGIMEXARS3_443(IncompressibleEulerHDGIMEX):
+    """ARS3(4,4,3) (hdg_imex.py:802-879; corrected b_impl, see tableaus.py)."""
+
+    tableau_name = "imex_ars3_443"
+
+
+class IncompressibleEulerHDGIMEXSSP2_332(IncompressibleEulerHDGIMEX):
+    """SSP2(3,3,2) (hdg_imex.py:882-949) — the driver default."""
+
+    tableau_name = "imex_ssp2_332"
+
+
+class IncompressibleEulerHDGIMEXSSP3_433(IncompressibleEulerHDGIMEX):
+    """SSP3(4,3,3) (hdg_imex.py:952-1038)."""
+
+    tableau_name = "imex_ssp3_433"

@@ -1,0 +1,140 @@
+"""First-order HDG solver: Chorin projection method (and monolithic variant).
+
+TPU-native rebuild of ``IncompressibleEulerHDGImplicit``
+(/root/reference/src/timesteppers/hdg_implicit.py).  This class is the
+readable specification of the HDG scheme (SURVEY.md section 3.3); the IMEX
+framework generalises it.
+
+Per timestep (projection branch, hdg_implicit.py:97-150):
+  1. Q* = project_bdm(Q)
+  2a. tentative velocity: (M - dt f_impl(., Q*)) Q~ = M Q + dt M f
+  2b. HDG mixed-Poisson pressure correction with rhs
+      -(1/dt) (psi, div Q~)_dx  (volume term only, hdg_implicit.py:145)
+  2c. Q <- Q~ + dt u'
+  3. p <- phi, shifted to zero mean
+
+The whole timestep is one jitted function; the host loop only runs callbacks
+and progress reporting.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import tqdm
+
+from .common import IncompressibleEuler
+from ..ops import fields as F
+from ..ops.forms import star_fields
+from ..ops.projection import project_bdm
+from ..ops.tracer import tracer_step
+from ..linalg.condense import build_condensed_system
+from ..linalg.gtmg import build_gtmg, gtmg_apply
+from ..linalg.pressure import pressure_solve
+from ..linalg.tentative import tentative_solve, tentative_matvec
+from ..linalg.monolithic import monolithic_stage_solve
+from ..utils.logging import PerformanceLog
+
+__all__ = ["IncompressibleEulerHDGImplicit"]
+
+
+class IncompressibleEulerHDGImplicit(IncompressibleEuler):
+    """First-order-in-time HDG solver (projection or monolithic).
+
+    :arg disc: HDGDiscretisation
+    :arg dt: timestep size
+    :arg flux: "upwind" or "centered"
+    :arg use_projection_method: Chorin projection instead of monolithic solve
+    :arg callbacks: per-timestep callbacks
+    """
+
+    def __init__(
+        self,
+        disc,
+        dt,
+        flux="upwind",
+        use_projection_method=True,
+        callbacks=None,
+    ):
+        super().__init__(disc, dt, label="HDG Implicit")
+        self.flux = flux
+        assert self.flux in ["upwind", "centered"]
+        self.use_projection_method = use_projection_method
+        self.callbacks = [] if callbacks is None else callbacks
+        # penalty / stabilisation parameters (hdg_implicit.py:41-43)
+        self.alpha = 1.0
+        self.tau = 1.0
+        self._cs = build_condensed_system(disc, tau=self.tau)
+        self._gtmg = build_gtmg(disc, self._cs)
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        geom = self.geom
+        proj = self._proj
+        cs = self._cs
+        pc = self._gtmg
+        precond = lambda v: gtmg_apply(geom, cs, pc, v)
+        dt = self._dt
+        alpha = self.alpha
+        upwind = self.flux == "upwind"
+        vol = self.domain_volume
+        projection = self.use_projection_method
+        rtol_p = self.rtol_pressure
+        rtol_t = self.rtol_tentative
+
+        def step(Q, p, f_nodal):
+            Qstar = project_bdm(geom, proj, Q)
+            star = star_fields(geom, Qstar)
+            if projection:
+                # 2a: tentative velocity
+                b = F.mass_apply(geom, geom.m1, Q + dt * f_nodal)
+                Qt, it_tent = tentative_solve(
+                    geom, star, b, dt, alpha=alpha, upwind=upwind, rtol=rtol_t
+                )
+                # 2b: pressure correction (volume-divergence rhs)
+                f_p = (-1.0 / dt) * F.cell_integrate(geom, geom.phi0, F.cell_div(geom, Qt))
+                zero_u = jnp.zeros_like(Q)
+                zero_lam = jnp.zeros((geom.n_facets, cs.nt), dtype=Q.dtype)
+                du, phi, lam, it_p = pressure_solve(
+                    geom, cs, zero_u, f_p, zero_lam, rtol=rtol_p, precond=precond
+                )
+                # 2c: velocity update
+                Q_new = Qt + dt * du
+                p_new = phi
+            else:
+                b = F.mass_apply(geom, geom.m1, Q + dt * f_nodal)
+                Q_new, p_new, lam, it_tent, it_p = monolithic_stage_solve(
+                    geom, cs, star, b, dt, alpha=alpha, upwind=upwind,
+                    rtol=rtol_p, precond=precond,
+                )
+            # step 3: zero-mean pressure
+            p_new = p_new - F.integral(geom, geom.phi0, p_new) / vol
+            return Q_new, p_new, it_tent, it_p
+
+        return step
+
+    def solve(self, Q_initial, p_initial, q_initial, f_rhs, T_final, warmup=False):
+        """Timestepping loop (reference hdg_implicit.py:52-197)."""
+        geom = self.geom
+        nt = self.get_timesteps(T_final, warmup)
+        Q = self.disc.interpolate_velocity(Q_initial)
+        p = self.disc.interpolate_pressure(p_initial)
+        p = self.shift_pressure(p)
+        q_tracer = (
+            self.disc.interpolate_pressure(q_initial) if q_initial is not None else None
+        )
+
+        for callback in self.callbacks:
+            callback.reset()
+            callback(Q, p, 0.0, q_tracer=q_tracer)
+
+        for k in tqdm.tqdm(range(nt)):
+            with PerformanceLog("timestep"):
+                if q_tracer is not None:
+                    q_tracer = tracer_step(geom, q_tracer, Q, self._dt)
+                f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
+                Q, p, it_tent, it_p = self._step(Q, p, f_nodal)
+            for callback in self.callbacks:
+                callback(Q, p, (k + 1) * self._dt, q_tracer=q_tracer)
+
+        return Q, p
