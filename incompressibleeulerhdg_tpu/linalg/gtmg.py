@@ -93,37 +93,53 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
     K_diag = np.zeros(nv)
     np.add.at(K_diag, mesh.cells, np.einsum("caa->ca", K_elem))
 
-    # sign of S: probe x^T S x with a random vector
+    # sign and eigenvalue estimates: host-side numpy power iteration (eager
+    # device dispatches through the TPU tunnel would dominate setup time)
     rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.standard_normal((geom.n_facets, cs.nt)), dtype=disc.dtype)
-    sx = trace_matvec(geom, cs, x)
-    sign = float(np.sign(float(jnp.vdot(x, sx))))
+    S_np = np.asarray(cs.S, dtype=np.float64)
+    Sdiag_inv_np = np.asarray(cs.Sdiag_inv, dtype=np.float64)
+    cf = mesh.cell_facets
+    nt = S_np.shape[-1] // 3
+    nf = mesh.n_facets
 
-    # eigenvalue estimates by power iteration on the Jacobi-preconditioned ops
+    def trace_mv_np(lam):
+        lam_c = lam[cf].reshape(mesh.n_cells, -1)
+        y_c = np.einsum("cij,cj->ci", S_np, lam_c)
+        out = np.zeros_like(lam)
+        np.add.at(out, cf, y_c.reshape(mesh.n_cells, 3, nt))
+        return out
+
+    x = rng.standard_normal((nf, nt))
+    sign = float(np.sign(np.vdot(x, trace_mv_np(x))))
+
     def fine_op(v):
         # D(S)^{-1} S == D(A)^{-1} A for A = sign*S (signs cancel); its
         # spectrum is positive either way
-        return jnp.einsum("fij,fj->fi", cs.Sdiag_inv, trace_matvec(geom, cs, v))
+        return np.einsum("fij,fj->fi", Sdiag_inv_np, trace_mv_np(v))
 
-    v = jnp.asarray(rng.standard_normal((geom.n_facets, cs.nt)), dtype=disc.dtype)
+    v = rng.standard_normal((nf, nt))
     for _ in range(power_iters):
         v = fine_op(v)
-        v = v / jnp.linalg.norm(v)
-    lmax_fine = float(jnp.vdot(v, fine_op(v)))
+        v = v / np.linalg.norm(v)
+    lmax_fine = float(np.vdot(v, fine_op(v)))
+
+    Kdi_np = 1.0 / np.maximum(K_diag, 1e-300)
+
+    def coarse_mv_np(z):
+        loc = np.einsum("cab,cb->ca", K_elem, z[mesh.cells])
+        out = np.zeros_like(z)
+        np.add.at(out, mesh.cells, loc)
+        return out
+
+    w = rng.standard_normal(nv)
+    for _ in range(power_iters):
+        w = Kdi_np * coarse_mv_np(w)
+        w = w / np.linalg.norm(w)
+    lmax_coarse = float(np.vdot(w, Kdi_np * coarse_mv_np(w)))
 
     cells_j = jnp.asarray(mesh.cells.astype(np.int32))
     K_elem_j = jnp.asarray(K_elem, dtype=disc.dtype)
-    Kdi = jnp.asarray(1.0 / np.maximum(K_diag, 1e-300), dtype=disc.dtype)
-
-    def coarse_matvec(z):
-        loc = jnp.einsum("cab,cb->ca", K_elem_j, z[cells_j])
-        return jnp.zeros_like(z).at[cells_j].add(loc)
-
-    w = jnp.asarray(rng.standard_normal(nv), dtype=disc.dtype)
-    for _ in range(power_iters):
-        w = Kdi * coarse_matvec(w)
-        w = w / jnp.linalg.norm(w)
-    lmax_coarse = float(jnp.vdot(w, Kdi * coarse_matvec(w)))
+    Kdi = jnp.asarray(Kdi_np, dtype=disc.dtype)
 
     return TwoLevelTracePC(
         Sdiag_inv=cs.Sdiag_inv,

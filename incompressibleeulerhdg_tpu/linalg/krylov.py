@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["gmres", "cg", "deflate_constant"]
+__all__ = ["gmres", "fgmres", "cg", "deflate_constant"]
 
 
 def deflate_constant(nullvec):
@@ -138,13 +138,17 @@ def gmres(
         return x_new, res, j_end
 
     def outer_step(state):
-        x, _, iters, _ = state
+        x, res_prev, iters, _ = state
         x, res, j = cycle(x)
-        return x, res, iters + j, jnp.maximum(j, 1)
+        # stagnation guard: a full restart cycle that barely reduced the
+        # residual (common at the float32 attainable-accuracy floor) ends the
+        # iteration instead of burning maxiter
+        go = jnp.logical_and(j > 0, res < 0.95 * res_prev)
+        return x, res, iters + j, go.astype(jnp.int32)
 
     def outer_cond(state):
-        _, res, iters, last_j = state
-        return jnp.logical_and(res > target, jnp.logical_and(iters < maxiter, last_j > 0))
+        _, res, iters, go = state
+        return jnp.logical_and(res > target, jnp.logical_and(iters < maxiter, go > 0))
 
     x, res, iters, _ = lax.while_loop(
         outer_cond,
@@ -153,6 +157,114 @@ def gmres(
     )
     relres = res / jnp.maximum(jnp.linalg.norm(Mb), tiny)
     return x, iters, relres
+
+
+def fgmres(
+    matvec,
+    b,
+    *,
+    M=None,
+    x0=None,
+    rtol=1e-12,
+    atol=0.0,
+    restart=30,
+    maxiter=200,
+    project=None,
+):
+    """Flexible (right-preconditioned) restarted GMRES.
+
+    The preconditioner may itself be an inner iteration (e.g. a projection
+    cycle with nested Krylov solves) — FGMRES stores the preconditioned
+    directions Z so a nonstationary M is admissible.  Convergence is on the
+    TRUE residual norm: ||b - A x|| <= max(rtol ||b||, atol).
+
+    Used for the monolithic coupled solves where the reference uses direct
+    LU/MUMPS (hdg_imex.py:613-618, dg_implicit.py:77-82,
+    conforming_implicit.py:96-125).
+    :returns: (x, iters, relres)
+    """
+    M = M or _identity
+    project = project or _identity
+    n = b.shape[0]
+    m = restart
+    dtype = b.dtype
+    b = project(b)
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(rtol * bnorm, atol).astype(dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+    def cycle(x):
+        r = project(b - matvec(x))
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, tiny))
+        Zb = jnp.zeros((m, n), dtype)
+        R = jnp.zeros((m, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def step(state):
+            V, Zb, R, cs, sn, g, j, res = state
+            z = M(V[j])
+            w = project(matvec(z))
+            Zb = Zb.at[j].set(z)
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h = (V @ w) * mask
+            w = w - V.T @ h
+            hnext = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(hnext, tiny))
+            h = h.at[j + 1].set(hnext)
+
+            def rot(i, h):
+                hi = cs[i] * h[i] + sn[i] * h[i + 1]
+                hi1 = -sn[i] * h[i] + cs[i] * h[i + 1]
+                use = i < j
+                h = h.at[i].set(jnp.where(use, hi, h[i]))
+                return h.at[i + 1].set(jnp.where(use, hi1, h[i + 1]))
+
+            h = lax.fori_loop(0, m, rot, h)
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            c_new = jnp.where(denom > tiny, h[j] / jnp.maximum(denom, tiny), 1.0)
+            s_new = jnp.where(denom > tiny, h[j + 1] / jnp.maximum(denom, tiny), 0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            h = h.at[j].set(denom).at[j + 1].set(0.0)
+            R = R.at[:, j].set(h[:m])
+            g = g.at[j + 1].set(-s_new * g[j])
+            g = g.at[j].set(c_new * g[j])
+            return V, Zb, R, cs, sn, g, j + 1, jnp.abs(g[j + 1])
+
+        def cond(state):
+            *_, j, res = state
+            return jnp.logical_and(j < m, res > target)
+
+        init = (V, Zb, R, cs, sn, g, jnp.int32(0), beta)
+        V, Zb, R, cs, sn, g, j_end, res = lax.while_loop(cond, step, init)
+        active = jnp.arange(m) < j_end
+        Rm = jnp.where(
+            jnp.logical_and(active[None, :], active[:, None]), R, jnp.eye(m, dtype=dtype)
+        )
+        gm = jnp.where(active, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+        return x + Zb.T @ y, res, j_end
+
+    def outer_step(state):
+        x, res_prev, iters, _ = state
+        x, res, j = cycle(x)
+        go = jnp.logical_and(j > 0, res < 0.95 * res_prev)
+        return x, res, iters + j, go.astype(jnp.int32)
+
+    def outer_cond(state):
+        _, res, iters, go = state
+        return jnp.logical_and(res > target, jnp.logical_and(iters < maxiter, go > 0))
+
+    x, res, iters, _ = lax.while_loop(
+        outer_cond,
+        outer_step,
+        (x0, jnp.asarray(jnp.inf, dtype), jnp.int32(0), jnp.int32(1)),
+    )
+    return x, iters, res / jnp.maximum(bnorm, tiny)
 
 
 def cg(matvec, b, *, M=None, x0=None, rtol=1e-12, atol=0.0, maxiter=500, project=None):

@@ -1,42 +1,40 @@
-"""Monolithic coupled (u, p, lambda) stage solve via projection-preconditioned
-Richardson iteration.
+"""Monolithic coupled (u, p, lambda) stage solve.
 
 The reference solves the unsplit stage system with GMRES + MUMPS LU
-(/root/reference/src/timesteppers/hdg_imex.py:600-620, dg/hdg monolithic
-branches).  A sparse direct factorisation is the wrong tool on TPU; instead we
-iterate the *same* projection preconditioner the reference uses for its
-Richardson iteration (hdg_imex.py:568-599) to convergence:
+(/root/reference/src/timesteppers/hdg_imex.py:600-620 and the monolithic
+branches of hdg_implicit/dg_implicit).  A sparse direct factorisation is the
+wrong tool on TPU; instead we run FGMRES on the coupled system with the
+*projection method as preconditioner* — one approximate cycle of
 
-    repeat:
-      1. tentative solve   (M - c f_impl) dQ~ = r_u-row residual
-      2. mixed-Poisson solve with rhs -(1/c) weak_div(psi, dQ~)
-      3. x += (dQ~ + c du, dp, dlam)
-    until the full-system residual is below rtol
+    tentative solve   (M - c f_impl) dQ~ = r_u
+    mixed-Poisson     rhs (-1/c) weak_div(psi, dQ~) + r_p rows, r_lam rows
+    delta = (dQ~ + c du, dp, dlam)
 
-Because the advective coupling enters at O(c) = O(dt), this converges
-geometrically for timestep sizes of practical interest and reproduces the
-monolithic solution to solver tolerance.
+per preconditioner application (the same cycle the reference's Richardson
+iteration applies, hdg_imex.py:568-599, but wrapped in a flexible Krylov
+method so it converges for any timestep size).  The constant-pressure
+nullspace (0, 1, 1) is deflated exactly as in the split path.
 """
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..ops import fields as F
 from ..ops.forms import f_impl_apply, pressure_gradient_apply, gamma_apply, weak_divergence_apply
 from .pressure import pressure_solve
 from .tentative import tentative_solve
-from .preconditioners import tentative_block_jacobi_build
+from .preconditioners import tentative_facet_patch_build
+from .krylov import fgmres
 
 __all__ = ["monolithic_stage_solve", "coupled_matvec"]
 
 
 def coupled_matvec(geom, star, Q, p, lam, c, alpha=1.0, upwind=True, tau=1.0):
-    """Apply the monolithic stage operator.
+    """Apply the monolithic stage operator (reference a_implicit,
+    hdg_imex.py:602-609):
 
     r_u   = M Q - c f_impl(Q, Q*) - c g(p, lam)
     (r_p, r_lam) = Gamma(Q, p, lam)
-    (reference a_implicit, hdg_imex.py:602-609)
     """
     r_u = (
         F.mass_apply(geom, geom.m1, Q)
@@ -56,59 +54,67 @@ def monolithic_stage_solve(
     *,
     alpha=1.0,
     upwind=True,
-    rtol=1.0e-12,
-    max_outer=60,
-    inner_rtol=1.0e-12,
+    rtol=1.0e-11,
+    inner_rtol=1.0e-6,
     x0=None,
     precond=None,
+    restart=20,
+    maxiter=100,
 ):
     """Solve the coupled stage system with b on the u-rows and 0 on Gamma rows.
 
-    :returns: (Q, p, lam, total tentative iters, total pressure iters)
+    :returns: (Q, p, lam, fgmres iters, fgmres iters)
     """
     dtype = b_u.dtype
-    nf, nt = geom.n_facets, cs.nt
-    if x0 is None:
-        Q = jnp.zeros_like(b_u)
-        p = jnp.zeros((geom.n_cells, geom.d0), dtype)
-        lam = jnp.zeros((nf, nt), dtype)
-    else:
-        Q, p, lam = x0
+    nc, d1 = geom.n_cells, geom.d1
+    d0, nf, nt = geom.d0, geom.n_facets, cs.nt
+    nu = nc * d1 * 2
+    np_ = nc * d0
 
-    blocks_inv = tentative_block_jacobi_build(geom, star, c, alpha, upwind)
-    bnorm = jnp.sqrt(jnp.sum(b_u**2))
-    target = rtol * bnorm
+    def flat(u, p, lam):
+        return jnp.concatenate([u.ravel(), p.ravel(), lam.ravel()])
 
-    def residual(Q, p, lam):
-        r_u, r_p, r_lam = coupled_matvec(geom, star, Q, p, lam, c, alpha, upwind, cs.tau)
-        return b_u - r_u, -r_p, -r_lam
+    def unflat(v):
+        u = v[:nu].reshape(nc, d1, 2)
+        p = v[nu : nu + np_].reshape(nc, d0)
+        lam = v[nu + np_ :].reshape(nf, nt)
+        return u, p, lam
 
-    def res_norm(r_u, r_p, r_lam):
-        return jnp.sqrt(jnp.sum(r_u**2) + jnp.sum(r_p**2) + jnp.sum(r_lam**2))
+    patches = tentative_facet_patch_build(geom, star, c, alpha, upwind)
 
-    def body(state):
-        Q, p, lam, _, it_t, it_p, k = state
-        r_u, r_p, r_lam = residual(Q, p, lam)
-        dQt, n_t = tentative_solve(
+    def matvec(v):
+        u, p, lam = unflat(v)
+        return flat(*coupled_matvec(geom, star, u, p, lam, c, alpha, upwind, cs.tau))
+
+    def M(v):
+        r_u, r_p, r_lam = unflat(v)
+        dQt, _ = tentative_solve(
             geom, star, r_u, c, alpha=alpha, upwind=upwind,
-            rtol=inner_rtol, blocks_inv=blocks_inv,
+            rtol=inner_rtol, maxiter=60, patches=patches,
         )
         f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt) + r_p
-        du, dp, dlam, n_p = pressure_solve(
-            geom, cs, jnp.zeros_like(r_u), f_p, r_lam, rtol=inner_rtol,
-            precond=precond,
+        du, dp, dlam, _ = pressure_solve(
+            geom, cs, jnp.zeros_like(r_u), f_p, r_lam,
+            rtol=inner_rtol, maxiter=60, precond=precond,
         )
-        Q = Q + dQt + c * du
-        p = p + dp
-        lam = lam + dlam
-        r = res_norm(*residual(Q, p, lam))
-        return Q, p, lam, r, it_t + n_t, it_p + n_p, k + 1
+        return flat(dQt + c * du, dp, dlam)
 
-    def cond(state):
-        _, __, ___, r, _it, _ip, k = state
-        return jnp.logical_and(r > target, k < max_outer)
+    # deflate the (0, 1_p, 1_lam) nullspace
+    nullv = flat(
+        jnp.zeros((nc, d1, 2), dtype),
+        jnp.ones((nc, d0), dtype),
+        jnp.ones((nf, nt), dtype),
+    )
+    nullv = nullv / jnp.linalg.norm(nullv)
 
-    r0 = res_norm(*residual(Q, p, lam))
-    state = (Q, p, lam, r0, jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    Q, p, lam, r, it_t, it_p, _ = lax.while_loop(cond, body, state)
-    return Q, p, lam, it_t, it_p
+    def project(v):
+        return v - nullv * jnp.dot(nullv, v)
+
+    b = flat(b_u, jnp.zeros((nc, d0), dtype), jnp.zeros((nf, nt), dtype))
+    x0flat = None if x0 is None else flat(*x0)
+    x, iters, _ = fgmres(
+        matvec, b, M=M, x0=x0flat, rtol=rtol, restart=restart, maxiter=maxiter,
+        project=project,
+    )
+    Q, p, lam = unflat(x)
+    return Q, p, lam, iters, iters

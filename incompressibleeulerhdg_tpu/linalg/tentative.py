@@ -15,7 +15,12 @@ import jax.numpy as jnp
 from ..ops.fields import mass_apply
 from ..ops.forms import f_impl_apply
 from .krylov import gmres
-from .preconditioners import tentative_block_jacobi_build, block_apply_cells
+from .preconditioners import (
+    tentative_block_jacobi_build,
+    block_apply_cells,
+    tentative_facet_patch_build,
+    tentative_facet_patch_apply,
+)
 
 __all__ = ["tentative_matvec", "tentative_solve"]
 
@@ -37,17 +42,49 @@ def tentative_solve(
     restart=30,
     maxiter=200,
     blocks_inv=None,
+    colors=None,
+    n_colors=0,
+    patches=None,
 ):
-    """Solve (M - c f_impl) u = rhs.  Returns (u (nc, d1, 2), iters)."""
+    """Solve (M - c f_impl) u = rhs.  Returns (u (nc, d1, 2), iters).
+
+    Preconditioner: per-cell block Jacobi, or — when a cell coloring is
+    provided — a colored block Gauss-Seidel sweep (the TPU-native analogue of
+    the reference's ILU: on 2-colorable structured triangulations one sweep
+    resolves all one-sided facet couplings exactly, keeping iteration counts
+    mesh-independent where block Jacobi degrades like 1/h).
+    """
     shape = rhs.shape
-    if blocks_inv is None:
+    if blocks_inv is None and patches is None:
         blocks_inv = tentative_block_jacobi_build(geom, star, c, alpha, upwind)
 
     def matvec(v):
         return tentative_matvec(geom, star, v.reshape(shape), c, alpha, upwind).ravel()
 
-    def M(v):
-        return block_apply_cells(blocks_inv, v.reshape(shape)).ravel()
+    if patches is not None:
+        patch_inv, weights = patches
+
+        def M(v):
+            return tentative_facet_patch_apply(
+                geom, patch_inv, weights, v.reshape(shape)
+            ).ravel()
+    elif colors is None:
+        def M(v):
+            return block_apply_cells(blocks_inv, v.reshape(shape)).ravel()
+    else:
+        cmask = [
+            (colors == k).astype(rhs.dtype)[:, None, None] for k in range(n_colors)
+        ]
+
+        def M(v):
+            r = v.reshape(shape)
+            z = jnp.zeros_like(r)
+            for k in range(n_colors):
+                resid = r if k == 0 else r - tentative_matvec(
+                    geom, star, z, c, alpha, upwind
+                )
+                z = z + cmask[k] * block_apply_cells(blocks_inv, resid)
+            return z.ravel()
 
     u, iters, _ = gmres(
         matvec, rhs.ravel(), M=M, rtol=rtol, restart=restart, maxiter=maxiter

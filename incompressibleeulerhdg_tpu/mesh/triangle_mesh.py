@@ -28,7 +28,7 @@ Conventions
 from dataclasses import dataclass, field
 import numpy as np
 
-__all__ = ["TriangleMesh", "build_mesh"]
+__all__ = ["TriangleMesh", "build_mesh", "color_cells"]
 
 # local facet l of cell (v0,v1,v2) is (LOCAL_FACET_VERTS[l][0], LOCAL_FACET_VERTS[l][1])
 LOCAL_FACET_VERTS = np.array([[1, 2], [2, 0], [0, 1]], dtype=np.int32)
@@ -89,6 +89,29 @@ class TriangleMesh:
     @property
     def domain_volume(self):
         return float(np.sum(self.det_jac) / 2.0)
+
+
+def color_cells(mesh):
+    """Greedy coloring of the cell adjacency graph (cells sharing a facet).
+
+    Structured triangulations 2-color (up/down triangles); general meshes get
+    <= 4 colors.  Used by the colored block Gauss-Seidel preconditioner.
+    Returns (colors (nc,), n_colors).
+    """
+    nc = mesh.n_cells
+    nbrs = [[] for _ in range(nc)]
+    for f in range(mesh.n_interior_facets):
+        a, b = mesh.facet_cells[f]
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    colors = np.full(nc, -1, dtype=np.int32)
+    for c in range(nc):
+        used = {colors[n] for n in nbrs[c] if colors[n] >= 0}
+        k = 0
+        while k in used:
+            k += 1
+        colors[c] = k
+    return colors, int(colors.max()) + 1
 
 
 def _orient_ccw(cells, coords):

@@ -52,7 +52,29 @@ def tracer_advection_apply(geom, q, u):
     return r + F.scatter_facets(geom, geom.tphi0, g0, g1)
 
 
-def tracer_step(geom, q, u, dt):
-    """One explicit tracer step: solve M q_new = M q + dt adv(chi, q, u)."""
+def cg_project_velocity(geom, cg_space, u):
+    """Project a DG(k+1) velocity onto vector CG(k+1) and return it in the DG
+    nodal layout (nc, d1, 2).
+
+    The reference projects the advecting velocity onto CG before the tracer
+    flux (common.py:119-122).  The CG(k+1) lattice nodes coincide with the
+    DG(k+1) nodes (same equispaced lattice, same ordering), so the projected
+    field converts back by a pure gather and all DG machinery applies — its
+    facet traces are continuous by construction.
+    """
+    from ..fem.cg import cg_project_dg, cg_gather
+
+    x, _ = cg_project_dg(geom, cg_space, u)
+    return cg_gather(cg_space, x)
+
+
+def tracer_step(geom, q, u, dt, cg_space=None):
+    """One explicit tracer step: solve M q_new = M q + dt adv(chi, q, u_cg).
+
+    :arg cg_space: optional CGSpace of degree k+1; when given, the advecting
+        velocity is CG-projected first (project_onto_cg=True of the reference)
+    """
+    if cg_space is not None:
+        u = cg_project_velocity(geom, cg_space, u)
     b = F.mass_apply(geom, geom.m0, q) + dt * tracer_advection_apply(geom, q, u)
     return F.mass_solve(geom, geom.m0inv, b)

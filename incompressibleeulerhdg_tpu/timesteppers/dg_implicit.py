@@ -27,7 +27,8 @@ from ..linalg.condense import build_condensed_system
 from ..linalg.gtmg import build_gtmg, gtmg_apply
 from ..linalg.pressure import pressure_solve
 from ..linalg.tentative import tentative_solve, tentative_matvec
-from ..linalg.preconditioners import tentative_block_jacobi_build
+from ..linalg.preconditioners import tentative_facet_patch_build
+from ..linalg.krylov import fgmres
 from ..utils.logging import PerformanceLog
 
 __all__ = ["IncompressibleEulerDGImplicit"]
@@ -68,42 +69,45 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
             return r_u, r_p
 
         def solve_monolithic(star, b_u, Q0, p0):
-            """Projection-preconditioned Richardson to solver tolerance."""
-            blocks_inv = tentative_block_jacobi_build(geom, star, dt, alpha, upwind)
-            bnorm = jnp.sqrt(jnp.sum(b_u**2))
-            target = 10 * rtol_p * bnorm
+            """FGMRES on the coupled (u, p) system, preconditioned by one
+            projection cycle (replacing GMRES+MUMPS, dg_implicit.py:77-82)."""
+            patches = tentative_facet_patch_build(geom, star, dt, alpha, upwind)
+            nc, d1, d0 = geom.n_cells, geom.d1, geom.d0
+            nu = nc * d1 * 2
 
-            def residual(Q, p):
-                r_u, r_p = dg_matvec(star, Q, p)
-                return b_u - r_u, -r_p
+            def flat(u, p):
+                return jnp.concatenate([u.ravel(), p.ravel()])
 
-            def rnorm(r_u, r_p):
-                return jnp.sqrt(jnp.sum(r_u**2) + jnp.sum(r_p**2))
+            def unflat(v):
+                return v[:nu].reshape(nc, d1, 2), v[nu:].reshape(nc, d0)
 
-            def body(state):
-                Q, p, _, k = state
-                r_u, r_p = residual(Q, p)
+            def matvec(v):
+                return flat(*dg_matvec(star, *unflat(v)))
+
+            def M(v):
+                r_u, r_p = unflat(v)
                 dQt, _ = tentative_solve(
                     geom, star, r_u, dt, alpha=alpha, upwind=upwind,
-                    rtol=rtol_t, blocks_inv=blocks_inv,
+                    rtol=1e-6, maxiter=60, patches=patches,
                 )
                 f_p = (-1.0 / dt) * weak_divergence_apply(geom, dQt) + (1.0 / dt) * r_p
                 du, dp, _, _ = pressure_solve(
                     geom, cs, jnp.zeros_like(r_u), f_p,
-                    jnp.zeros((geom.n_facets, cs.nt), r_u.dtype), rtol=rtol_p,
-                    precond=precond,
+                    jnp.zeros((geom.n_facets, cs.nt), r_u.dtype), rtol=1e-6,
+                    maxiter=60, precond=precond,
                 )
-                Q = Q + dQt + dt * du
-                p = p + dp
-                return Q, p, rnorm(*residual(Q, p)), k + 1
+                return flat(dQt + dt * du, dp)
 
-            def cond(state):
-                _, __, r, k = state
-                return jnp.logical_and(r > target, k < 60)
+            nullv = flat(jnp.zeros((nc, d1, 2), b_u.dtype), jnp.ones((nc, d0), b_u.dtype))
+            nullv = nullv / jnp.linalg.norm(nullv)
+            project = lambda v: v - nullv * jnp.dot(nullv, v)
 
-            state = (Q0, p0, rnorm(*residual(Q0, p0)), jnp.int32(0))
-            Q, p, _, _ = lax.while_loop(cond, body, state)
-            return Q, p
+            b = flat(b_u, jnp.zeros((nc, d0), b_u.dtype))
+            x, _, _ = fgmres(
+                matvec, b, M=M, x0=flat(Q0, p0), rtol=10 * rtol_p,
+                restart=20, maxiter=100, project=project,
+            )
+            return unflat(x)
 
         def step(Q, p, f_nodal):
             Qstar = project_bdm(geom, proj, Q)

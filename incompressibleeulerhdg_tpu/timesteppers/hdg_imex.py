@@ -46,6 +46,7 @@ from ..linalg.condense import build_condensed_system
 from ..linalg.gtmg import build_gtmg, gtmg_apply
 from ..linalg.pressure import pressure_solve
 from ..linalg.tentative import tentative_solve
+from ..linalg.preconditioners import tentative_facet_patch_build
 from ..linalg.monolithic import monolithic_stage_solve
 from ..utils.logging import PerformanceLog, Averager
 
@@ -173,6 +174,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 )
                 Q_i, p_i, lam_i = stage_Q[i], stage_p[i], stage_lam[i]
                 if projection:
+                    patches = tentative_facet_patch_build(geom, star, c, pen, upwind)
                     for _ in range(n_rich):
                         # tentative rhs (hdg_imex.py:239-247)
                         b_tent = (
@@ -185,7 +187,8 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                             )
                         )
                         dQt, n_t = tentative_solve(
-                            geom, star, b_tent, c, alpha=pen, upwind=upwind, rtol=rtol_t
+                            geom, star, b_tent, c, alpha=pen, upwind=upwind,
+                            rtol=rtol_t, patches=patches,
                         )
                         its_tent.append(n_t)
                         # mixed-Poisson update (hdg_imex.py:177-179)
