@@ -156,12 +156,24 @@ def build_condensed_system(disc, tau=1.0):
     )
 
 
+def _facets_from_cells(geom, y_c):
+    """Gather-based facet assembly of per-cell (nc, 3, nt) contributions.
+
+    Equivalent to scatter-add over cell_facets, but expressed as two gathers
+    (each facet has at most two cells) — scatters serialize on TPU.
+    """
+    fl = geom.ftab // 2  # local facet index per side
+    y0 = y_c[geom.fcells[:, 0], fl[:, 0]]
+    msk = (jnp.arange(geom.n_facets) < geom.n_int).astype(y_c.dtype)[:, None]
+    y1 = y_c[geom.fcells[:, 1], fl[:, 1]] * msk
+    return y0 + y1
+
+
 def trace_matvec(geom, cs, lam):
     """Condensed trace operator: (nf, nt) -> (nf, nt)."""
     lam_c = lam[geom.cell_facets].reshape(geom.n_cells, -1)  # (nc, 3nt)
     y_c = jnp.einsum("cij,cj->ci", cs.S, lam_c)
-    out = jnp.zeros_like(lam)
-    return out.at[geom.cell_facets].add(y_c.reshape(geom.n_cells, 3, cs.nt))
+    return _facets_from_cells(geom, y_c.reshape(geom.n_cells, 3, cs.nt))
 
 
 def _flatten_local(f_u, f_p):
@@ -173,8 +185,9 @@ def condense_rhs(geom, cs, f_u, f_p, f_lam):
     """Condensed right-hand side g = f_lam - C A^{-1} f_loc."""
     f_loc = _flatten_local(f_u, f_p)
     contrib = jnp.einsum("cij,cj->ci", cs.CAinv[cs.class_id], f_loc)
-    g = f_lam.at[geom.cell_facets].add(-contrib.reshape(geom.n_cells, 3, cs.nt))
-    return g
+    return f_lam - _facets_from_cells(
+        geom, contrib.reshape(geom.n_cells, 3, cs.nt)
+    )
 
 
 def back_substitute(geom, cs, f_u, f_p, lam):

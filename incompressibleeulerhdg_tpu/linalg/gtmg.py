@@ -41,6 +41,12 @@ __all__ = ["TwoLevelTracePC", "build_gtmg", "gtmg_apply"]
         "cells",
         "K_diag_inv",
         "sign",
+        "vf",
+        "vf_end",
+        "vf_mask",
+        "vc",
+        "vc_pos",
+        "vc_mask",
     ],
     meta_fields=["n_vertices", "cheb_fine", "cheb_coarse", "lmax_fine", "lmax_coarse"],
 )
@@ -53,6 +59,13 @@ class TwoLevelTracePC:
     cells: jnp.ndarray  # (nc, 3)
     K_diag_inv: jnp.ndarray  # (nv,)
     sign: jnp.ndarray  # scalar: sign making sign*S positive semidefinite
+    # padded vertex adjacency (gather-based assembly; scatters serialize on TPU)
+    vf: jnp.ndarray  # (nv, Dv) facet ids touching each vertex
+    vf_end: jnp.ndarray  # (nv, Dv) 0 = vertex is the facet's lo end, 1 = hi
+    vf_mask: jnp.ndarray  # (nv, Dv) 1.0 valid
+    vc: jnp.ndarray  # (nv, Dc) cell ids touching each vertex
+    vc_pos: jnp.ndarray  # (nv, Dc) local vertex index within the cell
+    vc_mask: jnp.ndarray  # (nv, Dc)
     n_vertices: int = 0
     cheb_fine: int = 2
     cheb_coarse: int = 25
@@ -141,6 +154,34 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
     K_elem_j = jnp.asarray(K_elem, dtype=disc.dtype)
     Kdi = jnp.asarray(Kdi_np, dtype=disc.dtype)
 
+    def padded_adjacency(pairs_v, payload_cols):
+        """pairs_v: (N,) vertex of each incidence; payloads: list of (N,) arrays.
+        Returns padded (nv, D) tables + mask."""
+        order = np.argsort(pairs_v, kind="stable")
+        sv = pairs_v[order]
+        deg = np.bincount(pairs_v, minlength=nv)
+        D = int(deg.max())
+        start = np.concatenate([[0], np.cumsum(deg)])
+        pos = np.arange(sv.shape[0]) - start[sv]
+        tables = []
+        for col in payload_cols:
+            t = np.zeros((nv, D), dtype=col.dtype)
+            t[sv, pos] = col[order]
+            tables.append(t)
+        mask = np.zeros((nv, D))
+        mask[sv, pos] = 1.0
+        return tables, mask
+
+    fv_flat = facet_verts.ravel()  # incidence (facet, end)
+    fid = np.repeat(np.arange(mesh.n_facets, dtype=np.int32), 2)
+    fend = np.tile(np.array([0, 1], dtype=np.int32), mesh.n_facets)
+    (vf_t, vf_end_t), vf_mask = padded_adjacency(fv_flat, [fid, fend])
+
+    cv_flat = mesh.cells.ravel()
+    cid = np.repeat(np.arange(mesh.n_cells, dtype=np.int32), 3)
+    cpos = np.tile(np.array([0, 1, 2], dtype=np.int32), mesh.n_cells)
+    (vc_t, vc_pos_t), vc_mask = padded_adjacency(cv_flat, [cid, cpos])
+
     return TwoLevelTracePC(
         Sdiag_inv=cs.Sdiag_inv,
         facet_verts=jnp.asarray(facet_verts),
@@ -149,6 +190,12 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
         cells=cells_j,
         K_diag_inv=Kdi,
         sign=jnp.asarray(sign, dtype=disc.dtype),
+        vf=jnp.asarray(vf_t),
+        vf_end=jnp.asarray(vf_end_t),
+        vf_mask=jnp.asarray(vf_mask, dtype=disc.dtype),
+        vc=jnp.asarray(vc_t),
+        vc_pos=jnp.asarray(vc_pos_t),
+        vc_mask=jnp.asarray(vc_mask, dtype=disc.dtype),
         n_vertices=nv,
         cheb_fine=cheb_fine,
         cheb_coarse=cheb_coarse,
@@ -187,12 +234,14 @@ def prolong(pc, zc):
 
 
 def restrict(pc, lam):
-    """Adjoint of prolong: (nf, nt) -> (nv,)."""
+    """Adjoint of prolong: (nf, nt) -> (nv,) via the padded vertex-facet table."""
     s = pc.trace_nodes[None, :]
-    out = jnp.zeros(pc.n_vertices, dtype=lam.dtype)
-    out = out.at[pc.facet_verts[:, 0]].add(jnp.sum(lam * (1.0 - s), axis=1))
-    out = out.at[pc.facet_verts[:, 1]].add(jnp.sum(lam * s, axis=1))
-    return out
+    a_lo = jnp.sum(lam * (1.0 - s), axis=1)  # (nf,)
+    a_hi = jnp.sum(lam * s, axis=1)
+    g_lo = a_lo[pc.vf]  # (nv, Dv)
+    g_hi = a_hi[pc.vf]
+    vals = jnp.where(pc.vf_end == 0, g_lo, g_hi)
+    return jnp.sum(vals * pc.vf_mask, axis=1)
 
 
 def gtmg_apply(geom, cs, pc, r_flat):
@@ -212,8 +261,9 @@ def gtmg_apply(geom, cs, pc, r_flat):
     rc = restrict(pc, r - A(z))
 
     def Ac(v):
-        loc = jnp.einsum("cab,cb->ca", pc.K_elem, v[pc.cells])
-        return jnp.zeros_like(v).at[pc.cells].add(loc)
+        loc = jnp.einsum("cab,cb->ca", pc.K_elem, v[pc.cells])  # (nc, 3)
+        g = loc[pc.vc, pc.vc_pos]  # (nv, Dc) gather instead of scatter
+        return jnp.sum(g * pc.vc_mask, axis=1)
 
     def Dc(v):
         return pc.K_diag_inv * v

@@ -11,7 +11,7 @@ Round-1 set:
 
 import jax.numpy as jnp
 
-from ..ops.fields import cell_values, interior_mask
+from ..ops.fields import cell_values, interior_mask, gather_facet_contribs
 from .smallinv import batched_inv
 
 __all__ = ["trace_block_jacobi", "tentative_block_jacobi_build", "block_apply_cells"]
@@ -129,12 +129,17 @@ def tentative_facet_patch_build(geom, star, c, alpha=1.0, upwind=True):
 
     For every interior facet, the 2x2 cell-block patch
         [[D_plus, -c K01], [-c K10, D_minus]]
-    (D = full cell diagonal blocks) is inverted in a batch.  This resolves
-    the O(alpha/h) normal-jump penalty couplings that make plain block
-    Jacobi/Gauss-Seidel degrade with mesh refinement — the TPU-native
-    analogue of the reference's ILU preconditioner (hdg_imex.py:224-228).
+    (D = full cell diagonal blocks) is factorised in block-Schur form — the
+    per-cell inverse D^{-1} is computed once and shared by the three patches
+    containing each cell, and only the nu x nu facet Schur complement is
+    inverted per facet (4x less LU work/workspace than inverting the full
+    2nu x 2nu patch).  This resolves the O(alpha/h) normal-jump penalty
+    couplings that make plain block Jacobi/Gauss-Seidel degrade under mesh
+    refinement — the TPU-native analogue of the reference's ILU
+    preconditioner (hdg_imex.py:224-228).
 
-    Returns (patch_inv (nf, 2nu, 2nu), cell weights (nc,)).
+    Returns (Dinv (nc,nu,nu), B (nf,nu,nu), CD0inv (nf,nu,nu),
+             Sinv (nf,nu,nu), weights (nc,)).
     """
     d1 = geom.d1
     nu = 2 * d1
@@ -148,49 +153,49 @@ def tentative_facet_patch_build(geom, star, c, alpha=1.0, upwind=True):
         * eye2[None, None, :, None, :]
     ).reshape(geom.n_cells, nu, nu)
     D = mass - c * fblk  # (nc, nu, nu)
+    Dinv = batched_inv(D)
 
     K01, K10 = f_impl_cross_blocks(geom, star, alpha, upwind)
-    K01 = K01.reshape(geom.n_facets, nu, nu)
-    K10 = K10.reshape(geom.n_facets, nu, nu)
+    B = (-c) * K01.reshape(geom.n_facets, nu, nu)  # plus-row, minus-col
+    C = (-c) * K10.reshape(geom.n_facets, nu, nu)  # minus-row, plus-col
 
     c0 = geom.fcells[:, 0]
     c1 = geom.fcells[:, 1]
-    patch = jnp.zeros((geom.n_facets, 2 * nu, 2 * nu), dtype=D.dtype)
-    patch = patch.at[:, :nu, :nu].set(D[c0])
-    patch = patch.at[:, nu:, nu:].set(D[c1])
-    patch = patch.at[:, :nu, nu:].set(-c * K01)
-    patch = patch.at[:, nu:, :nu].set(-c * K10)
-    # boundary facets (clamped minus cell): use blockdiag(D_plus, I) instead
+    CD0inv = jnp.einsum("fij,fjk->fik", C, Dinv[c0])
+    S = D[c1] - jnp.einsum("fij,fjk->fik", CD0inv, B)
+    # boundary facets: minus block unused; make the Schur factor the identity
     msk = interior_mask(geom, 1)[:, None, None]
-    bnd_patch = jnp.zeros_like(patch)
-    bnd_patch = bnd_patch.at[:, :nu, :nu].set(D[c0])
-    bnd_patch = bnd_patch.at[:, nu:, nu:].set(
-        jnp.broadcast_to(jnp.eye(nu, dtype=D.dtype), (geom.n_facets, nu, nu))
-    )
-    patch = jnp.where(msk > 0, patch, bnd_patch)
-    patch_inv = batched_inv(patch)
+    eye = jnp.broadcast_to(jnp.eye(nu, dtype=D.dtype), S.shape)
+    S = jnp.where(msk > 0, S, eye)
+    CD0inv = CD0inv * msk
+    B = B * msk
+    Sinv = batched_inv(S)
 
-    # partition-of-unity weights: each cell appears in (its #patches) patches
-    ones = jnp.ones(geom.n_facets, dtype=D.dtype)
-    counts = jnp.zeros(geom.n_cells, dtype=D.dtype)
-    counts = counts.at[c0].add(ones)
-    counts = counts.at[c1].add(interior_mask(geom, 1))
-    weights = 1.0 / jnp.maximum(counts, 1.0)
-    return patch_inv, weights
+    # partition-of-unity weights: every cell appears in exactly 3 patches
+    # (interior-facet pair patches + boundary-facet D-block patches)
+    weights = jnp.full((geom.n_cells,), 1.0 / 3.0, dtype=D.dtype)
+    return Dinv, B, CD0inv, Sinv, weights
 
 
-def tentative_facet_patch_apply(geom, patch_inv, weights, r):
-    """Apply the additive-Schwarz facet-patch preconditioner to (nc, d1, 2)."""
+def tentative_facet_patch_apply(geom, patches, r):
+    """Apply the additive-Schwarz facet-patch preconditioner to (nc, d1, 2).
+
+    Per interior facet, solve the 2x2 block system via the precomputed Schur
+    factors:  y1 = Sinv (r1 - C D0inv r0);  y0 = D0inv (r0 - B y1).
+    """
+    Dinv, B, CD0inv, Sinv, weights = patches
     nc, d1, _ = r.shape
     nu = 2 * d1
     rf = r.reshape(nc, nu)
-    rp = jnp.concatenate([rf[geom.fcells[:, 0]], rf[geom.fcells[:, 1]]], axis=1)
+    c0 = geom.fcells[:, 0]
+    c1 = geom.fcells[:, 1]
+    r0 = rf[c0]
     msk = interior_mask(geom, 1)[:, None]
-    rp = rp.at[:, nu:].multiply(msk)  # zero the clamped minus side on boundary
-    z = jnp.einsum("fij,fj->fi", patch_inv, rp)
-    out = jnp.zeros((nc, nu), dtype=r.dtype)
-    out = out.at[geom.fcells[:, 0]].add(z[:, :nu])
-    out = out.at[geom.fcells[:, 1]].add(z[:, nu:] * msk)
+    r1 = rf[c1] * msk
+    t = r1 - jnp.einsum("fij,fj->fi", CD0inv, r0)
+    y1 = jnp.einsum("fij,fj->fi", Sinv, t) * msk
+    y0 = jnp.einsum("fij,fj->fi", Dinv[c0], r0 - jnp.einsum("fij,fj->fi", B, y1))
+    out = gather_facet_contribs(geom, y0, y1)
     return (weights[:, None] * out).reshape(nc, d1, 2)
 
 

@@ -62,11 +62,9 @@ def tentative_solve(
         return tentative_matvec(geom, star, v.reshape(shape), c, alpha, upwind).ravel()
 
     if patches is not None:
-        patch_inv, weights = patches
-
         def M(v):
             return tentative_facet_patch_apply(
-                geom, patch_inv, weights, v.reshape(shape)
+                geom, patches, v.reshape(shape)
             ).ravel()
     elif colors is None:
         def M(v):

@@ -98,6 +98,11 @@ def color_cells(mesh):
     <= 4 colors.  Used by the colored block Gauss-Seidel preconditioner.
     Returns (colors (nc,), n_colors).
     """
+    from .native import native_color_cells
+
+    res = native_color_cells(mesh.n_cells, mesh.n_interior_facets, mesh.facet_cells)
+    if res is not None:
+        return res
     nc = mesh.n_cells
     nbrs = [[] for _ in range(nc)]
     for f in range(mesh.n_interior_facets):
@@ -127,7 +132,7 @@ def _orient_ccw(cells, coords):
     return cells, coords
 
 
-def build_mesh(vertices, cells, cell_coords=None, periodic=False):
+def build_mesh(vertices, cells, cell_coords=None, periodic=False, use_native=True):
     """Construct a TriangleMesh with full connectivity from vertices + cells.
 
     :arg vertices: (nv, 2) vertex positions (topological; representative coords
@@ -136,6 +141,7 @@ def build_mesh(vertices, cells, cell_coords=None, periodic=False):
     :arg cell_coords: optional (nc, 3, 2) unwrapped per-cell coordinates;
         defaults to ``vertices[cells]``
     :arg periodic: purely informational flag
+    :arg use_native: use the C++ connectivity kernel when available
     """
     vertices = np.asarray(vertices, dtype=np.float64)
     cells = np.asarray(cells, dtype=np.int32)
@@ -145,46 +151,59 @@ def build_mesh(vertices, cells, cell_coords=None, periodic=False):
     cells, cell_coords = _orient_ccw(cells, cell_coords)
 
     nc = cells.shape[0]
-    # enumerate all (cell, local facet) half-facets with canonical (sorted) keys
-    half_v = cells[:, LOCAL_FACET_VERTS]  # (nc, 3, 2) endpoint gids in local order
-    lo = np.minimum(half_v[..., 0], half_v[..., 1])
-    hi = np.maximum(half_v[..., 0], half_v[..., 1])
-    keys = lo.astype(np.int64) * (vertices.shape[0] + 1) + hi.astype(np.int64)
-    flat_keys = keys.ravel()  # index = 3*cell + local
-    uniq, inverse, counts = np.unique(flat_keys, return_inverse=True, return_counts=True)
-    nf = uniq.shape[0]
+    native = None
+    if use_native:
+        from .native import native_connectivity
 
-    facet_cells = np.full((nf, 2), -1, dtype=np.int32)
-    facet_local = np.zeros((nf, 2), dtype=np.int32)
-    facet_flip = np.zeros((nf, 2), dtype=np.int32)
-    seen = np.zeros(nf, dtype=np.int32)
-    flips_flat = (half_v[..., 0] > half_v[..., 1]).astype(np.int32).ravel()
-    order = np.argsort(inverse, kind="stable")  # group half-facets by facet id
-    for idx in order:
-        f = inverse[idx]
-        side = seen[f]
-        facet_cells[f, side] = idx // 3
-        facet_local[f, side] = idx % 3
-        facet_flip[f, side] = flips_flat[idx]
-        seen[f] += 1
-    assert np.all(counts <= 2), "non-manifold edge detected"
+        native = native_connectivity(vertices.shape[0], cells)
+    if native is not None:
+        (facet_cells, facet_local, facet_flip, cell_facets, cell_facet_side,
+         n_interior) = native
+    else:
+        # pure-numpy fallback (identical enumeration to the native kernel)
+        half_v = cells[:, LOCAL_FACET_VERTS]  # (nc, 3, 2) endpoint gids
+        lo = np.minimum(half_v[..., 0], half_v[..., 1])
+        hi = np.maximum(half_v[..., 0], half_v[..., 1])
+        keys = lo.astype(np.int64) * (vertices.shape[0] + 1) + hi.astype(np.int64)
+        flat_keys = keys.ravel()  # index = 3*cell + local
+        uniq, inverse, counts = np.unique(
+            flat_keys, return_inverse=True, return_counts=True
+        )
+        nf = uniq.shape[0]
 
-    # reorder: interior first
-    interior = counts == 2
-    perm = np.concatenate([np.nonzero(interior)[0], np.nonzero(~interior)[0]])
-    inv_perm = np.empty_like(perm)
-    inv_perm[perm] = np.arange(nf)
-    facet_cells = facet_cells[perm]
-    facet_local = facet_local[perm]
-    facet_flip = facet_flip[perm]
-    n_interior = int(interior.sum())
+        facet_cells = np.full((nf, 2), -1, dtype=np.int32)
+        facet_local = np.zeros((nf, 2), dtype=np.int32)
+        facet_flip = np.zeros((nf, 2), dtype=np.int32)
+        seen = np.zeros(nf, dtype=np.int32)
+        flips_flat = (half_v[..., 0] > half_v[..., 1]).astype(np.int32).ravel()
+        order = np.argsort(inverse, kind="stable")  # group by facet id
+        for idx in order:
+            f = inverse[idx]
+            side = seen[f]
+            facet_cells[f, side] = idx // 3
+            facet_local[f, side] = idx % 3
+            facet_flip[f, side] = flips_flat[idx]
+            seen[f] += 1
+        assert np.all(counts <= 2), "non-manifold edge detected"
 
-    # cell -> facets
-    cell_facets = inv_perm[inverse].reshape(nc, 3).astype(np.int32)
-    cell_facet_side = np.zeros((nc, 3), dtype=np.int32)
-    for l in range(3):
-        f = cell_facets[:, l]
-        cell_facet_side[:, l] = (facet_cells[f, 1] == np.arange(nc)).astype(np.int32)
+        # reorder: interior first
+        interior = counts == 2
+        perm = np.concatenate([np.nonzero(interior)[0], np.nonzero(~interior)[0]])
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(nf)
+        facet_cells = facet_cells[perm]
+        facet_local = facet_local[perm]
+        facet_flip = facet_flip[perm]
+        n_interior = int(interior.sum())
+
+        # cell -> facets
+        cell_facets = inv_perm[inverse].reshape(nc, 3).astype(np.int32)
+        cell_facet_side = np.zeros((nc, 3), dtype=np.int32)
+        for l in range(3):
+            f = cell_facets[:, l]
+            cell_facet_side[:, l] = (facet_cells[f, 1] == np.arange(nc)).astype(
+                np.int32
+            )
 
     # geometry (from unwrapped per-cell coords)
     e1 = cell_coords[:, 1] - cell_coords[:, 0]

@@ -71,6 +71,25 @@ def interior_mask(geom, ndim=2):
     return m.reshape((-1,) + (1,) * (ndim - 1))
 
 
+def gather_facet_contribs(geom, c0, c1):
+    """Accumulate per-facet-side contributions into cells WITHOUT scatters.
+
+    Each cell has exactly three facets, so the facet->cell scatter-add is
+    re-expressed as two gathers + a select over ``cell_facets`` /
+    ``cfside`` — scatters lower to slow serialized code on TPU while gathers
+    vectorize.
+
+    :arg c0/c1: (nf, ...) contributions targeting the plus / minus cell
+    :returns: (nc, ...) summed per cell
+    """
+    cf = geom.cell_facets  # (nc, 3)
+    side = geom.cfside  # (nc, 3) 0 plus / 1 minus
+    a0 = c0[cf]  # (nc, 3, ...)
+    a1 = c1[cf]
+    sel = (side == 0).astype(c0.dtype).reshape(side.shape + (1,) * (c0.ndim - 1))
+    return jnp.sum(jnp.where(sel > 0, a0, a1), axis=1)
+
+
 def scatter_facets(geom, tphi, g0, g1):
     """Adjoint of facet trace evaluation: accumulate facet integrands into cells.
 
@@ -85,12 +104,7 @@ def scatter_facets(geom, tphi, g0, g1):
     c0 = jnp.einsum("fq,fqi,fq...->fi...", w, T0, g0)
     g1 = g1 * interior_mask(geom, g1.ndim)
     c1 = jnp.einsum("fq,fqi,fq...->fi...", w, T1, g1)
-    nd = tphi.shape[-1]
-    shape = (geom.n_cells, nd) + g0.shape[2:]
-    out = jnp.zeros(shape, dtype=g0.dtype)
-    out = out.at[geom.fcells[:, 0]].add(c0)
-    out = out.at[geom.fcells[:, 1]].add(c1)
-    return out
+    return gather_facet_contribs(geom, c0, c1)
 
 
 def facet_integrate_trace(geom, integrand):
