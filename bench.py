@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # TPU matmuls default to bfloat16 passes; Krylov orthogonalisation and
+    # the dense patch solves need true float32 accumulation
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     nx = int(os.environ.get("BENCH_NX", 256))
     degree = int(os.environ.get("BENCH_DEGREE", 2))
     n_steps = int(os.environ.get("BENCH_STEPS", 3))
@@ -59,9 +63,16 @@ def main():
     problem = TaylorGreen(disc)
     print(f"# setup: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    Q0 = disc.interpolate_velocity(problem.initial_condition()[0])
-    p0 = stepper.shift_pressure(disc.interpolate_pressure(problem.initial_condition()[1]))
-    lam0 = stepper._reconstruct_trace(Q0, p0)
+    @jax.jit
+    def _init():
+        Q0 = disc.interpolate_velocity(problem.initial_condition()[0])
+        p0 = stepper.shift_pressure(
+            disc.interpolate_pressure(problem.initial_condition()[1])
+        )
+        lam0 = stepper._reconstruct_trace(Q0, p0)
+        return Q0, p0, lam0
+
+    Q0, p0, lam0 = _init()
     s = stepper.nstages
     sQ = [Q0] + [jnp.zeros_like(Q0)] * (s - 1)
     sp = [p0] + [jnp.zeros_like(p0)] * (s - 1)

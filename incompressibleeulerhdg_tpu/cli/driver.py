@@ -100,6 +100,7 @@ def main(argv=None):
 
     import jax
 
+    jax.config.update("jax_default_matmul_precision", "highest")
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

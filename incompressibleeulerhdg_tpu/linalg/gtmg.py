@@ -47,8 +47,18 @@ __all__ = ["TwoLevelTracePC", "build_gtmg", "gtmg_apply"]
         "vc",
         "vc_pos",
         "vc_mask",
+        "coarse_eig_inv",
+        "coarse_scale",
     ],
-    meta_fields=["n_vertices", "cheb_fine", "cheb_coarse", "lmax_fine", "lmax_coarse"],
+    meta_fields=[
+        "n_vertices",
+        "cheb_fine",
+        "cheb_coarse",
+        "lmax_fine",
+        "lmax_coarse",
+        "coarse_kind",
+        "grid_shape",
+    ],
 )
 @dataclass
 class TwoLevelTracePC:
@@ -66,7 +76,11 @@ class TwoLevelTracePC:
     vc: jnp.ndarray  # (nv, Dc) cell ids touching each vertex
     vc_pos: jnp.ndarray  # (nv, Dc) local vertex index within the cell
     vc_mask: jnp.ndarray  # (nv, Dc)
+    coarse_eig_inv: jnp.ndarray = None  # spectral inverse (structured meshes)
+    coarse_scale: jnp.ndarray = None  # (nv,) D^{-1} boundary-row scaling
     n_vertices: int = 0
+    coarse_kind: str = "cheb"  # "cheb" | "fft_neumann" | "fft_periodic"
+    grid_shape: tuple = None
     cheb_fine: int = 2
     cheb_coarse: int = 25
     lmax_fine: float = 1.0
@@ -172,6 +186,58 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
         mask[sv, pos] = 1.0
         return tables, mask
 
+    # spectral coarse solve on structured square grids: the P1 stiffness on a
+    # uniform right-triangulated grid is the 5-point graph Laplacian with
+    # weights (hy/hx, hx/hy), diagonalised by DCT-I (Neumann) / DFT (periodic)
+    coarse_kind = "cheb"
+    grid_shape = None
+    eig_inv = jnp.zeros((1, 1), dtype=disc.dtype)
+    coarse_scale = jnp.ones((nv,), dtype=disc.dtype)
+    sg = getattr(mesh, "structured_grid", None)
+    if sg is not None:
+        kind = sg[0]
+        if kind == "neumann":
+            Mx, My = sg[1], sg[2]
+            xs = mesh.vertices[:, 0].reshape(Mx, My)
+            ys = mesh.vertices[:, 1].reshape(Mx, My)
+            hx = float(xs[1, 0] - xs[0, 0])
+            hy = float(ys[0, 1] - ys[0, 0])
+            kx = np.arange(Mx)
+            ky = np.arange(My)
+            lx = (hy / hx) * (2.0 - 2.0 * np.cos(np.pi * kx / (Mx - 1)))
+            ly = (hx / hy) * (2.0 - 2.0 * np.cos(np.pi * ky / (My - 1)))
+            lam2 = lx[:, None] + ly[None, :]
+            lam2[0, 0] = 1.0
+            inv = 1.0 / lam2
+            inv[0, 0] = 0.0  # constant mode: deflated
+            coarse_kind = "fft_neumann"
+            grid_shape = (Mx, My)
+            eig_inv = jnp.asarray(inv, dtype=disc.dtype)
+            # FEM boundary rows are half/quarter stencils: K = D * A_mirror
+            # with D = diag(1, 1/2 edge, 1/4 corner); the spectral solve
+            # inverts A_mirror, so pre-scale the residual by D^{-1} — this
+            # makes the coarse solve EXACT for the structured FEM Laplacian
+            wgt = np.ones((Mx, My))
+            wgt[0, :] *= 0.5
+            wgt[-1, :] *= 0.5
+            wgt[:, 0] *= 0.5
+            wgt[:, -1] *= 0.5
+            coarse_scale = jnp.asarray(1.0 / wgt, dtype=disc.dtype).ravel()
+        elif kind == "periodic":
+            nx_, ny_ = sg[1], sg[2]
+            hx = 1.0  # uniform square cells: weights are ratio-only
+            kx = np.arange(nx_)
+            ky = np.arange(ny_)
+            lx = 2.0 - 2.0 * np.cos(2.0 * np.pi * kx / nx_)
+            ly = 2.0 - 2.0 * np.cos(2.0 * np.pi * ky / ny_)
+            lam2 = lx[:, None] + ly[None, :]
+            lam2[0, 0] = 1.0
+            inv = 1.0 / lam2
+            inv[0, 0] = 0.0
+            coarse_kind = "fft_periodic"
+            grid_shape = (nx_, ny_)
+            eig_inv = jnp.asarray(inv, dtype=disc.dtype)
+
     fv_flat = facet_verts.ravel()  # incidence (facet, end)
     fid = np.repeat(np.arange(mesh.n_facets, dtype=np.int32), 2)
     fend = np.tile(np.array([0, 1], dtype=np.int32), mesh.n_facets)
@@ -196,7 +262,11 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
         vc=jnp.asarray(vc_t),
         vc_pos=jnp.asarray(vc_pos_t),
         vc_mask=jnp.asarray(vc_mask, dtype=disc.dtype),
+        coarse_eig_inv=eig_inv,
+        coarse_scale=coarse_scale,
         n_vertices=nv,
+        coarse_kind=coarse_kind,
+        grid_shape=grid_shape,
         cheb_fine=cheb_fine,
         cheb_coarse=cheb_coarse,
         lmax_fine=abs(lmax_fine),
@@ -223,6 +293,44 @@ def _chebyshev(apply_A, apply_Minv, r, niter, lmax):
         rho = rho_new
         z = z + d
     return z
+
+
+def _dct1_2d(u):
+    """2-D DCT-I via FFT of the even extension; involutive up to 4 Nx Ny."""
+    v = jnp.concatenate([u, u[-2:0:-1, :]], axis=0)
+    v = jnp.concatenate([v, v[:, -2:0:-1]], axis=1)
+    return jnp.fft.fft2(v).real[: u.shape[0], : u.shape[1]]
+
+
+def _coarse_solve(pc, rc):
+    """Approximately invert the P1 coarse Laplacian.
+
+    Structured meshes: exact spectral inverse of the 5-point stencil in a
+    handful of FFT kernels (the 25-iteration Chebyshev chain was 90% of the
+    V-cycle cost on TPU — tiny sequential kernels are launch-bound).
+    Unstructured meshes: Chebyshev over Jacobi with the gathered stencil.
+    """
+    if pc.coarse_kind == "fft_neumann":
+        Mx, My = pc.grid_shape
+        u = (rc * pc.coarse_scale).reshape(Mx, My)
+        c = _dct1_2d(u) * pc.coarse_eig_inv
+        z = _dct1_2d(c) / (4.0 * (Mx - 1) * (My - 1))
+        return z.reshape(-1).astype(rc.dtype)
+    if pc.coarse_kind == "fft_periodic":
+        nx_, ny_ = pc.grid_shape
+        u = rc.reshape(nx_, ny_)
+        c = jnp.fft.fft2(u) * pc.coarse_eig_inv
+        return jnp.fft.ifft2(c).real.reshape(-1).astype(rc.dtype)
+
+    def Ac(v):
+        loc = jnp.einsum("cab,cb->ca", pc.K_elem, v[pc.cells])  # (nc, 3)
+        g = loc[pc.vc, pc.vc_pos]  # (nv, Dc) gather instead of scatter
+        return jnp.sum(g * pc.vc_mask, axis=1)
+
+    def Dc(v):
+        return pc.K_diag_inv * v
+
+    return _chebyshev(Ac, Dc, rc, pc.cheb_coarse, pc.lmax_coarse)
 
 
 def prolong(pc, zc):
@@ -260,15 +368,7 @@ def gtmg_apply(geom, cs, pc, r_flat):
     # coarse correction
     rc = restrict(pc, r - A(z))
 
-    def Ac(v):
-        loc = jnp.einsum("cab,cb->ca", pc.K_elem, v[pc.cells])  # (nc, 3)
-        g = loc[pc.vc, pc.vc_pos]  # (nv, Dc) gather instead of scatter
-        return jnp.sum(g * pc.vc_mask, axis=1)
-
-    def Dc(v):
-        return pc.K_diag_inv * v
-
-    zc = _chebyshev(Ac, Dc, rc, pc.cheb_coarse, pc.lmax_coarse)
+    zc = _coarse_solve(pc, rc)
     z = z + prolong(pc, zc)
     # post-smooth
     z = z + _chebyshev(A, Dinv, r - A(z), pc.cheb_fine, pc.lmax_fine)

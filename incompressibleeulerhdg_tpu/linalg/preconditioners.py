@@ -161,29 +161,49 @@ def tentative_facet_patch_build(geom, star, c, alpha=1.0, upwind=True):
 
     c0 = geom.fcells[:, 0]
     c1 = geom.fcells[:, 1]
-    CD0inv = jnp.einsum("fij,fjk->fik", C, Dinv[c0])
-    S = D[c1] - jnp.einsum("fij,fjk->fik", CD0inv, B)
+    S = D[c1] - jnp.einsum(
+        "fij,fjk,fkl->fil", C, Dinv[c0], B
+    )
     # boundary facets: minus block unused; make the Schur factor the identity
     msk = interior_mask(geom, 1)[:, None, None]
     eye = jnp.broadcast_to(jnp.eye(nu, dtype=D.dtype), S.shape)
     S = jnp.where(msk > 0, S, eye)
-    CD0inv = CD0inv * msk
-    B = B * msk
     Sinv = batched_inv(S)
 
-    # partition-of-unity weights: every cell appears in exactly 3 patches
-    # (interior-facet pair patches + boundary-facet D-block patches)
-    weights = jnp.full((geom.n_cells,), 1.0 / 3.0, dtype=D.dtype)
-    return Dinv, B, CD0inv, Sinv, weights
+    # only Dinv and Sinv are retained; the cross couplings B = -c K01 and
+    # C = -c K10 are re-applied matrix-free from the facet tabulations at
+    # apply time (keeps the per-stage tables at 2 x (n, nu, nu) instead of 5)
+    return Dinv, Sinv
 
 
-def tentative_facet_patch_apply(geom, patches, r):
+def _cross_apply(geom, star, c, alpha, upwind, y, transpose_sides):
+    """Matrix-free application of the cross-coupling block to (nf, d1, 2).
+
+    transpose_sides=False: apply B = -c K01 (plus-test rows, minus-side y);
+    transpose_sides=True:  apply C = -c K10 (minus-test rows, plus-side y).
+    """
+    _, star_n = star
+    d1 = geom.d1
+    Ta = geom.tphi1[geom.ftab[:, 1 if transpose_sides else 0]]
+    Tb = geom.tphi1[geom.ftab[:, 0 if transpose_sides else 1]]
+    w = geom.flen[:, None] * geom.wqf[None, :]
+    msk = interior_mask(geom)
+    upw = jnp.abs(star_n) if upwind else 0.0
+    scal = ((0.5 * star_n if transpose_sides else -0.5 * star_n) + upw) * msk
+    pen = (geom.hF_inv[:, None] * alpha) * msk
+    yq = jnp.einsum("fqj,fja->fqa", Tb, y)  # trial values at facet quadrature
+    yn = jnp.einsum("fqa,fa->fq", yq, geom.normal)
+    integrand = scal[..., None] * yq + (pen * yn)[..., None] * geom.normal[:, None, :]
+    return (-c) * jnp.einsum("fq,fqi,fqa->fia", w, Ta, integrand)
+
+
+def tentative_facet_patch_apply(geom, star, c, alpha, upwind, patches, r):
     """Apply the additive-Schwarz facet-patch preconditioner to (nc, d1, 2).
 
     Per interior facet, solve the 2x2 block system via the precomputed Schur
     factors:  y1 = Sinv (r1 - C D0inv r0);  y0 = D0inv (r0 - B y1).
     """
-    Dinv, B, CD0inv, Sinv, weights = patches
+    Dinv, Sinv = patches
     nc, d1, _ = r.shape
     nu = 2 * d1
     rf = r.reshape(nc, nu)
@@ -192,11 +212,18 @@ def tentative_facet_patch_apply(geom, patches, r):
     r0 = rf[c0]
     msk = interior_mask(geom, 1)[:, None]
     r1 = rf[c1] * msk
-    t = r1 - jnp.einsum("fij,fj->fi", CD0inv, r0)
+    D0r0 = jnp.einsum("fij,fj->fi", Dinv[c0], r0)
+    Cd = _cross_apply(
+        geom, star, c, alpha, upwind, D0r0.reshape(-1, d1, 2), True
+    ).reshape(-1, nu)
+    t = r1 - Cd
     y1 = jnp.einsum("fij,fj->fi", Sinv, t) * msk
-    y0 = jnp.einsum("fij,fj->fi", Dinv[c0], r0 - jnp.einsum("fij,fj->fi", B, y1))
+    By1 = _cross_apply(
+        geom, star, c, alpha, upwind, y1.reshape(-1, d1, 2), False
+    ).reshape(-1, nu)
+    y0 = jnp.einsum("fij,fj->fi", Dinv[c0], r0 - By1)
     out = gather_facet_contribs(geom, y0, y1)
-    return (weights[:, None] * out).reshape(nc, d1, 2)
+    return (out / 3.0).reshape(nc, d1, 2)
 
 
 def block_apply_cells(blocks_inv, r):

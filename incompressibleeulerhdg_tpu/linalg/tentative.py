@@ -64,7 +64,7 @@ def tentative_solve(
     if patches is not None:
         def M(v):
             return tentative_facet_patch_apply(
-                geom, patches, v.reshape(shape)
+                geom, star, c, alpha, upwind, patches, v.reshape(shape)
             ).ravel()
     elif colors is None:
         def M(v):

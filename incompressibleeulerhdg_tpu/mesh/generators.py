@@ -38,7 +38,9 @@ def unit_square_mesh(nx, ny=None, L=1.0):
             v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
             cells.append([v00, v10, v11])
             cells.append([v00, v11, v01])
-    return build_mesh(vertices, np.asarray(cells, dtype=np.int32))
+    m = build_mesh(vertices, np.asarray(cells, dtype=np.int32))
+    m.structured_grid = ("neumann", nx + 1, ny + 1)
+    return m
 
 
 def periodic_square_mesh(nx, ny=None, L=2.0 * np.pi):
@@ -69,12 +71,14 @@ def periodic_square_mesh(nx, ny=None, L=2.0 * np.pi):
             coords.append([coord(i, j), coord(i + 1, j), coord(i + 1, j + 1)])
             cells.append([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)])
             coords.append([coord(i, j), coord(i + 1, j + 1), coord(i, j + 1)])
-    return build_mesh(
+    m = build_mesh(
         vertices,
         np.asarray(cells, dtype=np.int32),
         cell_coords=np.asarray(coords, dtype=np.float64),
         periodic=True,
     )
+    m.structured_grid = ("periodic", nx, ny)
+    return m
 
 
 def unit_disk_mesh(refinement_level=2):

@@ -62,6 +62,10 @@ class TriangleMesh:
     jac_inv: np.ndarray = field(default=None)  # (nc, 2, 2)
     det_jac: np.ndarray = field(default=None)  # (nc,) > 0
     periodic: bool = False
+    # ("neumann", Mx, My) vertex grid of a structured square mesh, or
+    # ("periodic", nx, ny); None for unstructured meshes.  Vertex id layout
+    # must be i * My + j.  Enables the FFT coarse solver in linalg/gtmg.py.
+    structured_grid: tuple = None
 
     @property
     def n_cells(self):

@@ -129,10 +129,16 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         dt = self._dt
         tab = self.tableau
         s = tab.nstages
-        a_impl = tab.a_impl
-        c_expl = tab.c_expl
-        alpha, beta = self._alpha, self._beta
-        alpha_f, beta_f = self._alpha_f, self._beta_f
+        # plain-python floats: numpy scalars are strongly typed and would
+        # promote float32 state to float64 under jax_enable_x64
+        a_impl = tab.a_impl.tolist()
+        a_expl_t = tab.a_expl.tolist()
+        b_expl_t = tab.b_expl.tolist()
+        c_expl = tab.c_expl.tolist()
+        alpha = self._alpha.tolist()
+        beta = self._beta.tolist()
+        alpha_f = self._alpha_f.tolist()
+        beta_f = self._beta_f.tolist()
         upwind = self.flux == "upwind"
         pen = self.alpha_penalty
         vol = self.domain_volume
@@ -164,18 +170,23 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             q_stages = [q_tracer] if with_tracer else None
 
             for i in range(1, s):
-                c = a_impl[i, i] * dt
+                c = a_impl[i][i] * dt
                 Qstar = project_bdm(geom, proj, stage_Q[i - 1])
                 star = star_fields(geom, Qstar)
                 # unrolled residual r_i (hdg_imex.py:367-391)
-                r_i = sum(alpha[i, j] * MQ[j] for j in range(i) if alpha[i, j] != 0)
+                r_i = sum(alpha[i][j] * MQ[j] for j in range(i) if alpha[i][j] != 0)
                 r_i = r_i + sum(
-                    dt * beta[i, j] * Mb[j] for j in range(i) if beta[i, j] != 0
+                    dt * beta[i][j] * Mb[j] for j in range(i) if beta[i][j] != 0
                 )
                 Q_i, p_i, lam_i = stage_Q[i], stage_p[i], stage_lam[i]
                 if projection:
                     patches = tentative_facet_patch_build(geom, star, c, pen, upwind)
-                    for _ in range(n_rich):
+
+                    def richardson_sweep(carry, _, r_i=r_i, c=c, star=star, patches=patches):
+                        """One Richardson iteration (hdg_imex.py:568-599); run
+                        under lax.scan so the body (two nested Krylov solves)
+                        is traced/compiled once instead of n_richardson times."""
+                        Q_i, p_i, lam_i = carry
                         # tentative rhs (hdg_imex.py:239-247)
                         b_tent = (
                             r_i
@@ -190,7 +201,6 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                             geom, star, b_tent, c, alpha=pen, upwind=upwind,
                             rtol=rtol_t, patches=patches,
                         )
-                        its_tent.append(n_t)
                         # mixed-Poisson update (hdg_imex.py:177-179)
                         f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt)
                         du, dp, dlam, n_p = pressure_solve(
@@ -202,11 +212,14 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                             rtol=rtol_p,
                             precond=precond,
                         )
-                        its_p.append(n_p)
                         dp, dlam = shift(dp, dlam)  # hdg_imex.py:579
-                        Q_i = Q_i + dQt + c * du
-                        p_i = p_i + dp
-                        lam_i = lam_i + dlam
+                        return (Q_i + dQt + c * du, p_i + dp, lam_i + dlam), (n_t, n_p)
+
+                    (Q_i, p_i, lam_i), (n_ts, n_ps) = jax.lax.scan(
+                        richardson_sweep, (Q_i, p_i, lam_i), None, length=n_rich
+                    )
+                    its_tent.append(n_ts)  # (n_rich,) arrays
+                    its_p.append(n_ps)
                 else:
                     Q_i, p_i, lam_i, n_t, n_p = monolithic_stage_solve(
                         geom,
@@ -229,8 +242,8 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     # tracer stage solve (hdg_imex.py:415-432,623)
                     b_q = F.mass_apply(geom, geom.m0, q_stages[0])
                     for j in range(i):
-                        if tab.a_expl[i, j] != 0:
-                            b_q = b_q + dt * tab.a_expl[i, j] * tracer_advection_apply(
+                        if a_expl_t[i][j] != 0:
+                            b_q = b_q + dt * a_expl_t[i][j] * tracer_advection_apply(
                                 geom, q_stages[j], Q_i
                             )
                     q_stages.append(F.mass_solve(geom, geom.m0inv, b_q))
@@ -264,16 +277,16 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             if q_stages is not None:
                 b_q = F.mass_apply(geom, geom.m0, q_stages[0])
                 for i in range(s):
-                    if tab.b_expl[i] != 0:
-                        b_q = b_q + dt * tab.b_expl[i] * tracer_advection_apply(
+                    if b_expl_t[i] != 0:
+                        b_q = b_q + dt * b_expl_t[i] * tracer_advection_apply(
                             geom, q_stages[i], stage_Q[i]
                         )
                 q_new = F.mass_solve(geom, geom.m0inv, b_q)
 
             stage_Q[0], stage_p[0], stage_lam[0] = Q_new, p_new, lam_new
             counts = dict(
-                tentative=jnp.stack(its_tent),
-                pressure=jnp.stack(its_p),
+                tentative=jnp.concatenate([jnp.atleast_1d(x) for x in its_tent]),
+                pressure=jnp.concatenate([jnp.atleast_1d(x) for x in its_p]),
                 final_pressure=n_fp,
                 reconstruction=n_pr,
             )
@@ -330,12 +343,20 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         geom = self.geom
         s = self.nstages
         nt = self.get_timesteps(T_final, warmup)
-        Q0 = self.disc.interpolate_velocity(Q_initial)
-        p0 = self.shift_pressure(self.disc.interpolate_pressure(p_initial))
-        lam0 = self._reconstruct_trace(Q0, p0)
-        q_tracer = (
-            self.disc.interpolate_pressure(q_initial) if q_initial is not None else None
-        )
+
+        @jax.jit
+        def _init():
+            Q0 = self.disc.interpolate_velocity(Q_initial)
+            p0 = self.shift_pressure(self.disc.interpolate_pressure(p_initial))
+            lam0 = self._reconstruct_trace(Q0, p0)
+            q0 = (
+                self.disc.interpolate_pressure(q_initial)
+                if q_initial is not None
+                else None
+            )
+            return Q0, p0, lam0, q0
+
+        Q0, p0, lam0, q_tracer = _init()
 
         zeroQ = jnp.zeros_like(Q0)
         zerop = jnp.zeros_like(p0)

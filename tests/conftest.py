@@ -23,3 +23,4 @@ import jax
 # take effect (plugin import order), so force the platform via config too
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
