@@ -81,16 +81,18 @@ def main():
 
     step = stepper._get_step(problem.f_rhs(), False)
 
+    op_args = (disc.geom, stepper._proj, stepper._cs, stepper._gtmg)
+
     # warm-up: compile + one step
     t0 = time.time()
-    out = step(sQ, sp, sl, jnp.asarray(0.0, dtype=dtype), dummy_q)
+    out = step(*op_args, sQ, sp, sl, jnp.asarray(0.0, dtype=dtype), dummy_q)
     jax.block_until_ready(out)
     print(f"# warmup (compile + 1 step): {time.time()-t0:.1f}s", file=sys.stderr)
     sQ, sp, sl = out[0], out[1], out[2]
 
     t0 = time.time()
     for k in range(n_steps):
-        out = step(sQ, sp, sl, jnp.asarray((k + 1) * dt, dtype=dtype), dummy_q)
+        out = step(*op_args, sQ, sp, sl, jnp.asarray((k + 1) * dt, dtype=dtype), dummy_q)
         sQ, sp, sl = out[0], out[1], out[2]
     jax.block_until_ready(sQ[0])
     per_step = (time.time() - t0) / n_steps

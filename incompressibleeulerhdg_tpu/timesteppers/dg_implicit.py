@@ -48,11 +48,6 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
-        geom = self.geom
-        proj = self._proj
-        cs = self._cs
-        pc = self._gtmg
-        precond = lambda v: gtmg_apply(geom, cs, pc, v)
         dt = self._dt
         alpha = self.alpha
         upwind = self.flux == "upwind"
@@ -60,7 +55,7 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
         rtol_p = self.rtol_pressure
         rtol_t = self.rtol_tentative
 
-        def dg_matvec(star, Q, p):
+        def dg_matvec(geom, star, Q, p):
             """Monolithic DG operator (dg_implicit.py:48-71)."""
             r_u = tentative_matvec(geom, star, Q, dt, alpha, upwind) - (
                 dt * pressure_gradient_dg_apply(geom, p)
@@ -68,7 +63,7 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
             r_p = dt * weak_divergence_apply(geom, Q)
             return r_u, r_p
 
-        def solve_monolithic(star, b_u, Q0, p0):
+        def solve_monolithic(geom, cs, precond, star, b_u, Q0, p0):
             """FGMRES on the coupled (u, p) system, preconditioned by one
             projection cycle (replacing GMRES+MUMPS, dg_implicit.py:77-82)."""
             patches = tentative_facet_patch_build(geom, star, dt, alpha, upwind)
@@ -82,7 +77,7 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
                 return v[:nu].reshape(nc, d1, 2), v[nu:].reshape(nc, d0)
 
             def matvec(v):
-                return flat(*dg_matvec(star, *unflat(v)))
+                return flat(*dg_matvec(geom, star, *unflat(v)))
 
             def M(v):
                 r_u, r_p = unflat(v)
@@ -109,11 +104,12 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
             )
             return unflat(x)
 
-        def step(Q, p, f_nodal):
+        def step(geom, proj, cs, pc, Q, p, f_nodal):
+            precond = lambda v: gtmg_apply(geom, cs, pc, v)
             Qstar = project_bdm(geom, proj, Q)
             star = star_fields(geom, Qstar)
             b_u = F.mass_apply(geom, geom.m1, Q + dt * f_nodal)
-            Q_new, p_new = solve_monolithic(star, b_u, Q, p)
+            Q_new, p_new = solve_monolithic(geom, cs, precond, star, b_u, Q, p)
             p_new = p_new - F.integral(geom, geom.phi0, p_new) / vol
             return Q_new, p_new
 
@@ -135,7 +131,9 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
                 if q_tracer is not None:
                     q_tracer = tracer_step(self.geom, q_tracer, Q, self._dt)
                 f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
-                Q, p = self._step(Q, p, f_nodal)
+                Q, p = self._step(
+                    self.geom, self._proj, self._cs, self._gtmg, Q, p, f_nodal
+                )
                 jax.block_until_ready(Q)
             for callback in self.callbacks:
                 callback(Q, p, (k + 1) * self._dt, q_tracer=q_tracer)

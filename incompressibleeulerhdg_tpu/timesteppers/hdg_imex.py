@@ -121,11 +121,6 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         return self._step_cache[key]
 
     def _make_step(self, f_rhs_fn, with_tracer):
-        geom = self.geom
-        proj = self._proj
-        cs = self._cs
-        pc = self._gtmg
-        precond = lambda v: gtmg_apply(geom, cs, pc, v)
         dt = self._dt
         tab = self.tableau
         s = tab.nstages
@@ -146,23 +141,32 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         projection = self.use_projection_method
         rtol_p = self.rtol_pressure
         rtol_t = self.rtol_tentative
-        interp_velocity = self.disc.interpolate_velocity
+        out_dtype = self.disc.dtype
 
-        def mass(u):
-            return F.mass_apply(geom, geom.m1, u)
-
-        def shift(p, lam):
-            m = F.integral(geom, geom.phi0, p) / vol
-            return p - m, lam - m
-
-        def step(stage_Q, stage_p, stage_lam, tn, q_tracer):
+        def step(geom, proj, cs, pc, stage_Q, stage_p, stage_lam, tn, q_tracer):
             """One IMEX timestep.
 
             stage_Q/p/lam: lists (length s) of per-stage states carried over;
-            index 0 holds the current solution.
+            index 0 holds the current solution.  geom/proj/cs/pc are passed
+            as pytree ARGUMENTS (not closure constants) so XLA cannot
+            constant-fold the tabulation gathers into multi-GB literals.
             """
+            precond = lambda v: gtmg_apply(geom, cs, pc, v)
+
+            def mass(u):
+                return F.mass_apply(geom, geom.m1, u)
+
+            def shift(p, lam):
+                m = F.integral(geom, geom.phi0, p) / vol
+                return p - m, lam - m
+
             its_tent, its_p = [], []
             stage_Q, stage_p, stage_lam = list(stage_Q), list(stage_p), list(stage_lam)
+            def interp_velocity(fn):
+                x = geom.xnodes1
+                fx, fy = fn(x[..., 0], x[..., 1])
+                return jnp.stack(jnp.broadcast_arrays(fx, fy), axis=-1).astype(out_dtype)
+
             # forcing at stage times (hdg_imex.py:554-557)
             b_rhs = [interp_velocity(f_rhs_fn(tn + c_expl[i] * dt)) for i in range(s)]
             Mb = [mass(b) for b in b_rhs]
@@ -382,7 +386,8 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             with PerformanceLog("timestep"):
                 tn = jnp.asarray(k * self._dt, dtype=self.disc.dtype)
                 stage_Q, stage_p, stage_lam, q_new, counts = step_fn(
-                    stage_Q, stage_p, stage_lam, tn, dummy_q
+                    self.geom, self._proj, self._cs, self._gtmg,
+                    stage_Q, stage_p, stage_lam, tn, dummy_q,
                 )
                 if q_tracer is not None:
                     dummy_q = q_new

@@ -70,11 +70,6 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
-        geom = self.geom
-        proj = self._proj
-        cs = self._cs
-        pc = self._gtmg
-        precond = lambda v: gtmg_apply(geom, cs, pc, v)
         dt = self._dt
         alpha = self.alpha
         upwind = self.flux == "upwind"
@@ -83,7 +78,8 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
         rtol_p = self.rtol_pressure
         rtol_t = self.rtol_tentative
 
-        def step(Q, p, f_nodal):
+        def step(geom, proj, cs, pc, Q, p, f_nodal):
+            precond = lambda v: gtmg_apply(geom, cs, pc, v)
             Qstar = project_bdm(geom, proj, Q)
             star = star_fields(geom, Qstar)
             if projection:
@@ -136,7 +132,9 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
                 if q_tracer is not None:
                     q_tracer = tracer_step(geom, q_tracer, Q, self._dt)
                 f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
-                Q, p, it_tent, it_p = self._step(Q, p, f_nodal)
+                Q, p, it_tent, it_p = self._step(
+                    self.geom, self._proj, self._cs, self._gtmg, Q, p, f_nodal
+                )
             for callback in self.callbacks:
                 callback(Q, p, (k + 1) * self._dt, q_tracer=q_tracer)
 
