@@ -45,12 +45,15 @@ __all__ = ["CondensedSystem", "build_condensed_system", "trace_matvec", "condens
 )
 @dataclass
 class CondensedSystem:
-    S: jnp.ndarray  # (nc, 3nt, 3nt) per-cell trace Schur blocks
+    S: jnp.ndarray  # (3nt, 3nt, nc) per-cell trace Schur blocks, BATCH-LAST
+    # (TPU tiles the two minormost dims to (8,128): batch-major (nc, 9, 9)
+    # blocks would pad ~25x in HBM; batch-last storage is exact and the
+    # matvec becomes a lane-parallel multiply-reduce)
     Ainv: jnp.ndarray  # (ncls, nloc, nloc)
     AinvB: jnp.ndarray  # (ncls, nloc, 3nt)
     CAinv: jnp.ndarray  # (ncls, 3nt, nloc)
     class_id: jnp.ndarray  # (nc,)
-    Sdiag_inv: jnp.ndarray  # (nf, nt, nt) inverse facet-diagonal blocks of S
+    Sdiag_inv: jnp.ndarray  # (nt, nt, nf) inverse facet-diagonal blocks, batch-last
     nullvec: jnp.ndarray  # (nf, nt) normalised constant-trace nullspace of S
     tau: float = 1.0
     nt: int = 1
@@ -144,12 +147,12 @@ def build_condensed_system(disc, tau=1.0):
 
     f = lambda a: jnp.asarray(a, dtype=disc.dtype)
     return CondensedSystem(
-        S=f(S),
+        S=f(S.transpose(1, 2, 0)),
         Ainv=f(Ainv),
         AinvB=f(AinvB),
         CAinv=f(CAinv),
         class_id=jnp.asarray(class_id),
-        Sdiag_inv=f(Sdiag_inv),
+        Sdiag_inv=f(Sdiag_inv.transpose(1, 2, 0)),
         nullvec=f(nullvec),
         tau=float(tau),
         nt=int(nt),
@@ -170,10 +173,16 @@ def _facets_from_cells(geom, y_c):
 
 
 def trace_matvec(geom, cs, lam):
-    """Condensed trace operator: (nf, nt) -> (nf, nt)."""
-    lam_c = lam[geom.cell_facets].reshape(geom.n_cells, -1)  # (nc, 3nt)
-    y_c = jnp.einsum("cij,cj->ci", cs.S, lam_c)
-    return _facets_from_cells(geom, y_c.reshape(geom.n_cells, 3, cs.nt))
+    """Condensed trace operator: (nf, nt) -> (nf, nt), batch-last blocks."""
+    nt = cs.nt
+    lam_c = lam[geom.cell_facets].reshape(geom.n_cells, -1).T  # (3nt, nc)
+    y_c = jnp.sum(cs.S * lam_c[None, :, :], axis=1)  # (3nt, nc)
+    y3 = y_c.reshape(3, nt, geom.n_cells)
+    fl = geom.ftab // 2
+    y0 = y3[fl[:, 0], :, geom.fcells[:, 0]]  # (nf, nt)
+    msk = (jnp.arange(geom.n_facets) < geom.n_int).astype(lam.dtype)[:, None]
+    y1 = y3[fl[:, 1], :, geom.fcells[:, 1]] * msk
+    return y0 + y1
 
 
 def _flatten_local(f_u, f_p):

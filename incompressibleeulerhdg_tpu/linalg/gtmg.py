@@ -123,8 +123,8 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
     # sign and eigenvalue estimates: host-side numpy power iteration (eager
     # device dispatches through the TPU tunnel would dominate setup time)
     rng = np.random.default_rng(7)
-    S_np = np.asarray(cs.S, dtype=np.float64)
-    Sdiag_inv_np = np.asarray(cs.Sdiag_inv, dtype=np.float64)
+    S_np = np.asarray(cs.S, dtype=np.float64).transpose(2, 0, 1)
+    Sdiag_inv_np = np.asarray(cs.Sdiag_inv, dtype=np.float64).transpose(2, 0, 1)
     cf = mesh.cell_facets
     nt = S_np.shape[-1] // 3
     nf = mesh.n_facets
@@ -361,7 +361,8 @@ def gtmg_apply(geom, cs, pc, r_flat):
         return pc.sign * trace_matvec(geom, cs, v)
 
     def Dinv(v):
-        return pc.sign * jnp.einsum("fij,fj->fi", cs.Sdiag_inv, v)
+        out = jnp.sum(cs.Sdiag_inv * v.T[None, :, :], axis=1)
+        return pc.sign * out.T
 
     # pre-smooth
     z = _chebyshev(A, Dinv, r, pc.cheb_fine, pc.lmax_fine)

@@ -23,7 +23,7 @@ from ..ops import fields as F
 from ..ops.forms import f_impl_apply, pressure_gradient_apply, gamma_apply, weak_divergence_apply
 from .pressure import pressure_solve
 from .tentative import tentative_solve
-from .preconditioners import tentative_facet_patch_build
+from .preconditioners import build_tentative_operator, tentative_operator_matvec
 from .krylov import fgmres
 
 __all__ = ["monolithic_stage_solve", "coupled_matvec"]
@@ -80,17 +80,23 @@ def monolithic_stage_solve(
         lam = v[nu + np_ :].reshape(nf, nt)
         return u, p, lam
 
-    patches = tentative_facet_patch_build(geom, star, c, alpha, upwind)
+    t_op = build_tentative_operator(geom, star, c, alpha, upwind)
 
     def matvec(v):
         u, p, lam = unflat(v)
-        return flat(*coupled_matvec(geom, star, u, p, lam, c, alpha, upwind, cs.tau))
+        # u-rows via the assembled blocks (same operator, far cheaper than
+        # re-deriving the weak form per Krylov iteration)
+        r_u = tentative_operator_matvec(geom, t_op, u) - c * pressure_gradient_apply(
+            geom, p, lam
+        )
+        r_p, r_lam = gamma_apply(geom, u, p, lam, cs.tau)
+        return flat(r_u, r_p, r_lam)
 
     def M(v):
         r_u, r_p, r_lam = unflat(v)
         dQt, _ = tentative_solve(
             geom, star, r_u, c, alpha=alpha, upwind=upwind,
-            rtol=inner_rtol, maxiter=60, patches=patches,
+            rtol=inner_rtol, maxiter=60, op=t_op,
         )
         f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt) + r_p
         du, dp, dlam, _ = pressure_solve(

@@ -9,21 +9,37 @@ Round-1 set:
   the natural TPU patch solver)
 """
 
+from dataclasses import dataclass
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from ..ops.fields import cell_values, interior_mask, gather_facet_contribs
 from .smallinv import batched_inv
 
+_register_tentative_op = partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["D", "Bx", "Cx", "Dinv", "Sinv"],
+    meta_fields=[],
+)
+
+
+def _register_tentative_op_wrap(cls):
+    return _register_tentative_op(dataclass(cls))
+
 __all__ = ["trace_block_jacobi", "tentative_block_jacobi_build", "block_apply_cells"]
 
 
 def trace_block_jacobi(cs):
-    """Return a flat-vector preconditioner applying per-facet inverse diagonal blocks."""
+    """Return a flat-vector preconditioner applying per-facet inverse diagonal
+    blocks (batch-last storage)."""
     nt = cs.nt
 
     def M(v):
-        lam = v.reshape(-1, nt)
-        return jnp.einsum("fij,fj->fi", cs.Sdiag_inv, lam).ravel()
+        lam = v.reshape(-1, nt).T  # (nt, nf)
+        out = jnp.sum(cs.Sdiag_inv * lam[None, :, :], axis=1)
+        return out.T.ravel()
 
     return M
 
@@ -124,22 +140,46 @@ def f_impl_cross_blocks(geom, star, alpha=1.0, upwind=True):
     return K01, K10
 
 
-def tentative_facet_patch_build(geom, star, c, alpha=1.0, upwind=True):
-    """Overlapping facet-pair additive-Schwarz patches for M - c f_impl.
+@_register_tentative_op_wrap
+class TentativeOperator:
+    """Assembled per-stage tentative operator M - c f_impl + its patch factors.
 
-    For every interior facet, the 2x2 cell-block patch
-        [[D_plus, -c K01], [-c K10, D_minus]]
-    (D = full cell diagonal blocks) is factorised in block-Schur form — the
-    per-cell inverse D^{-1} is computed once and shared by the three patches
-    containing each cell, and only the nu x nu facet Schur complement is
-    inverted per facet (4x less LU work/workspace than inverting the full
-    2nu x 2nu patch).  This resolves the O(alpha/h) normal-jump penalty
-    couplings that make plain block Jacobi/Gauss-Seidel degrade under mesh
-    refinement — the TPU-native analogue of the reference's ILU
-    preconditioner (hdg_imex.py:224-228).
+    All tables are stored BATCH-LAST, (nu, nu, n): the TPU tiles the two
+    minormost dims to (8, 128), so batch-major (n, 20, 20) tables pad 6-25x
+    in HBM; with the huge batch dim in the lanes the storage is exact and
+    every application is a lane-parallel fused multiply-reduce.
 
-    Returns (Dinv (nc,nu,nu), B (nf,nu,nu), CD0inv (nf,nu,nu),
-             Sinv (nf,nu,nu), weights (nc,)).
+    The Krylov matvec uses the SAME blocks as the Schwarz patches: assembling
+    once per stage and applying dense blocks replaces re-deriving the weak
+    form from tabulations per application (which built 25x-padded per-quad
+    intermediates and dominated the step time).
+    """
+
+    D: jnp.ndarray  # (nu, nu, nc) own-cell blocks
+    Bx: jnp.ndarray  # (nu, nu, nf) -c K01: plus-test rows, minus-side trial
+    Cx: jnp.ndarray  # (nu, nu, nf) -c K10: minus-test rows, plus-side trial
+    Dinv: jnp.ndarray  # (nu, nu, nc)
+    Sinv: jnp.ndarray  # (nu, nu, nf) patch Schur inverses
+
+
+def _bm(A, x):
+    """Batch-last block matvec: (nu, nu, n) x (nu, n) -> (nu, n).
+
+    Written as broadcast-multiply + reduce so XLA keeps the batch dimension
+    in the lanes (a dot_general could transpose to batch-major layouts).
+    """
+    return jnp.sum(A * x[None, :, :], axis=1)
+
+
+def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
+    """Assemble blocks + overlapping facet-pair Schwarz factors per stage.
+
+    The 2x2 cell-block patch  [[D_plus, -c K01], [-c K10, D_minus]]  is
+    factorised in block-Schur form: per-cell D^{-1} (shared by the three
+    patches containing each cell) + per-facet nu x nu Schur inverse.  This
+    resolves the O(alpha/h) normal-jump penalty couplings that make block
+    Jacobi/Gauss-Seidel degrade under mesh refinement — the TPU-native
+    analogue of the reference's ILU preconditioner (hdg_imex.py:224-228).
     """
     d1 = geom.d1
     nu = 2 * d1
@@ -161,69 +201,61 @@ def tentative_facet_patch_build(geom, star, c, alpha=1.0, upwind=True):
 
     c0 = geom.fcells[:, 0]
     c1 = geom.fcells[:, 1]
-    S = D[c1] - jnp.einsum(
-        "fij,fjk,fkl->fil", C, Dinv[c0], B
-    )
+    S = D[c1] - jnp.einsum("fij,fjk,fkl->fil", C, Dinv[c0], B)
     # boundary facets: minus block unused; make the Schur factor the identity
     msk = interior_mask(geom, 1)[:, None, None]
     eye = jnp.broadcast_to(jnp.eye(nu, dtype=D.dtype), S.shape)
     S = jnp.where(msk > 0, S, eye)
     Sinv = batched_inv(S)
 
-    # only Dinv and Sinv are retained; the cross couplings B = -c K01 and
-    # C = -c K10 are re-applied matrix-free from the facet tabulations at
-    # apply time (keeps the per-stage tables at 2 x (n, nu, nu) instead of 5)
-    return Dinv, Sinv
+    t = lambda A: jnp.transpose(A, (1, 2, 0))
+    return TentativeOperator(D=t(D), Bx=t(B), Cx=t(C), Dinv=t(Dinv), Sinv=t(Sinv))
 
 
-def _cross_apply(geom, star, c, alpha, upwind, y, transpose_sides):
-    """Matrix-free application of the cross-coupling block to (nf, d1, 2).
+def tentative_operator_matvec(geom, op, u):
+    """Assembled-block application of M - c f_impl: (nc, d1, 2) -> same."""
+    nc, d1, _ = u.shape
+    nu = 2 * d1
+    ut = u.reshape(nc, nu).T  # (nu, nc)
+    r = _bm(op.D, ut)
+    msk = interior_mask(geom, 1)[None, :]
+    u0 = ut[:, geom.fcells[:, 0]]
+    u1 = ut[:, geom.fcells[:, 1]] * msk
+    z0 = _bm(op.Bx, u1)  # contribution to plus-cell rows
+    z1 = _bm(op.Cx, u0) * msk  # minus-cell rows (zero on boundary)
+    r = r + _assemble_cells_bl(geom, z0, z1)
+    return r.T.reshape(nc, d1, 2)
 
-    transpose_sides=False: apply B = -c K01 (plus-test rows, minus-side y);
-    transpose_sides=True:  apply C = -c K10 (minus-test rows, plus-side y).
+
+def _assemble_cells_bl(geom, z0, z1):
+    """Batch-last facet->cell assembly: (nu, nf) sides -> (nu, nc) sum."""
+    cf = geom.cell_facets  # (nc, 3)
+    sel = (geom.cfside == 0)[None, :, :]  # (1, nc, 3)
+    a0 = z0[:, cf]  # (nu, nc, 3)
+    a1 = z1[:, cf]
+    return jnp.sum(jnp.where(sel, a0, a1), axis=2)
+
+
+def tentative_patch_apply(geom, op, r):
+    """Additive-Schwarz facet-patch preconditioner (batch-last tables).
+
+    Per interior facet:  y1 = Sinv (r1 - C D0inv r0);  y0 = D0inv (r0 - B y1);
+    partition-of-unity weight 1/3 (every cell sits in exactly 3 patches).
     """
-    _, star_n = star
-    d1 = geom.d1
-    Ta = geom.tphi1[geom.ftab[:, 1 if transpose_sides else 0]]
-    Tb = geom.tphi1[geom.ftab[:, 0 if transpose_sides else 1]]
-    w = geom.flen[:, None] * geom.wqf[None, :]
-    msk = interior_mask(geom)
-    upw = jnp.abs(star_n) if upwind else 0.0
-    scal = ((0.5 * star_n if transpose_sides else -0.5 * star_n) + upw) * msk
-    pen = (geom.hF_inv[:, None] * alpha) * msk
-    yq = jnp.einsum("fqj,fja->fqa", Tb, y)  # trial values at facet quadrature
-    yn = jnp.einsum("fqa,fa->fq", yq, geom.normal)
-    integrand = scal[..., None] * yq + (pen * yn)[..., None] * geom.normal[:, None, :]
-    return (-c) * jnp.einsum("fq,fqi,fqa->fia", w, Ta, integrand)
-
-
-def tentative_facet_patch_apply(geom, star, c, alpha, upwind, patches, r):
-    """Apply the additive-Schwarz facet-patch preconditioner to (nc, d1, 2).
-
-    Per interior facet, solve the 2x2 block system via the precomputed Schur
-    factors:  y1 = Sinv (r1 - C D0inv r0);  y0 = D0inv (r0 - B y1).
-    """
-    Dinv, Sinv = patches
     nc, d1, _ = r.shape
     nu = 2 * d1
-    rf = r.reshape(nc, nu)
+    rt = r.reshape(nc, nu).T  # (nu, nc)
     c0 = geom.fcells[:, 0]
     c1 = geom.fcells[:, 1]
-    r0 = rf[c0]
-    msk = interior_mask(geom, 1)[:, None]
-    r1 = rf[c1] * msk
-    D0r0 = jnp.einsum("fij,fj->fi", Dinv[c0], r0)
-    Cd = _cross_apply(
-        geom, star, c, alpha, upwind, D0r0.reshape(-1, d1, 2), True
-    ).reshape(-1, nu)
-    t = r1 - Cd
-    y1 = jnp.einsum("fij,fj->fi", Sinv, t) * msk
-    By1 = _cross_apply(
-        geom, star, c, alpha, upwind, y1.reshape(-1, d1, 2), False
-    ).reshape(-1, nu)
-    y0 = jnp.einsum("fij,fj->fi", Dinv[c0], r0 - By1)
-    out = gather_facet_contribs(geom, y0, y1)
-    return (out / 3.0).reshape(nc, d1, 2)
+    msk = interior_mask(geom, 1)[None, :]
+    r0 = rt[:, c0]
+    r1 = rt[:, c1] * msk
+    Dinv0 = op.Dinv[:, :, c0]
+    t = r1 - _bm(op.Cx, _bm(Dinv0, r0))
+    y1 = _bm(op.Sinv, t) * msk
+    y0 = _bm(Dinv0, r0 - _bm(op.Bx, y1))
+    out = _assemble_cells_bl(geom, y0, y1)
+    return (out / 3.0).T.reshape(nc, d1, 2)
 
 
 def block_apply_cells(blocks_inv, r):

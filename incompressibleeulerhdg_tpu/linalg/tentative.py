@@ -18,8 +18,9 @@ from .krylov import gmres
 from .preconditioners import (
     tentative_block_jacobi_build,
     block_apply_cells,
-    tentative_facet_patch_build,
-    tentative_facet_patch_apply,
+    build_tentative_operator,
+    tentative_operator_matvec,
+    tentative_patch_apply,
 )
 
 __all__ = ["tentative_matvec", "tentative_solve"]
@@ -44,7 +45,7 @@ def tentative_solve(
     blocks_inv=None,
     colors=None,
     n_colors=0,
-    patches=None,
+    op=None,
 ):
     """Solve (M - c f_impl) u = rhs.  Returns (u (nc, d1, 2), iters).
 
@@ -55,17 +56,21 @@ def tentative_solve(
     mesh-independent where block Jacobi degrades like 1/h).
     """
     shape = rhs.shape
-    if blocks_inv is None and patches is None:
+    if blocks_inv is None and op is None:
         blocks_inv = tentative_block_jacobi_build(geom, star, c, alpha, upwind)
 
-    def matvec(v):
-        return tentative_matvec(geom, star, v.reshape(shape), c, alpha, upwind).ravel()
-
-    if patches is not None:
-        def M(v):
-            return tentative_facet_patch_apply(
-                geom, star, c, alpha, upwind, patches, v.reshape(shape)
+    if op is not None:
+        def matvec(v):
+            return tentative_operator_matvec(geom, op, v.reshape(shape)).ravel()
+    else:
+        def matvec(v):
+            return tentative_matvec(
+                geom, star, v.reshape(shape), c, alpha, upwind
             ).ravel()
+
+    if op is not None:
+        def M(v):
+            return tentative_patch_apply(geom, op, v.reshape(shape)).ravel()
     elif colors is None:
         def M(v):
             return block_apply_cells(blocks_inv, v.reshape(shape)).ravel()

@@ -32,8 +32,13 @@ def make_device_mesh(n_devices=None, devices=None):
 
 
 def _spec_for(arr, n_cells, n_facets):
-    if hasattr(arr, "ndim") and arr.ndim >= 1 and arr.shape[0] in (n_cells, n_facets):
+    if not hasattr(arr, "ndim") or arr.ndim < 1:
+        return P()
+    if arr.shape[0] in (n_cells, n_facets):
         return P(AXIS)
+    # batch-last operator tables (nu, nu, n_cells/facets)
+    if arr.shape[-1] in (n_cells, n_facets):
+        return P(*([None] * (arr.ndim - 1) + [AXIS]))
     return P()
 
 

@@ -27,7 +27,7 @@ from ..linalg.condense import build_condensed_system
 from ..linalg.gtmg import build_gtmg, gtmg_apply
 from ..linalg.pressure import pressure_solve
 from ..linalg.tentative import tentative_solve, tentative_matvec
-from ..linalg.preconditioners import tentative_facet_patch_build
+from ..linalg.preconditioners import build_tentative_operator, tentative_operator_matvec
 from ..linalg.krylov import fgmres
 from ..utils.logging import PerformanceLog
 
@@ -55,18 +55,18 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
         rtol_p = self.rtol_pressure
         rtol_t = self.rtol_tentative
 
-        def dg_matvec(geom, star, Q, p):
-            """Monolithic DG operator (dg_implicit.py:48-71)."""
-            r_u = tentative_matvec(geom, star, Q, dt, alpha, upwind) - (
+        def dg_matvec(geom, t_op, Q, p):
+            """Monolithic DG operator (dg_implicit.py:48-71); momentum block
+            applied via the assembled per-stage blocks."""
+            r_u = tentative_operator_matvec(geom, t_op, Q) - (
                 dt * pressure_gradient_dg_apply(geom, p)
             )
             r_p = dt * weak_divergence_apply(geom, Q)
             return r_u, r_p
 
-        def solve_monolithic(geom, cs, precond, star, b_u, Q0, p0):
+        def solve_monolithic(geom, cs, precond, star, t_op, b_u, Q0, p0):
             """FGMRES on the coupled (u, p) system, preconditioned by one
             projection cycle (replacing GMRES+MUMPS, dg_implicit.py:77-82)."""
-            patches = tentative_facet_patch_build(geom, star, dt, alpha, upwind)
             nc, d1, d0 = geom.n_cells, geom.d1, geom.d0
             nu = nc * d1 * 2
 
@@ -77,13 +77,13 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
                 return v[:nu].reshape(nc, d1, 2), v[nu:].reshape(nc, d0)
 
             def matvec(v):
-                return flat(*dg_matvec(geom, star, *unflat(v)))
+                return flat(*dg_matvec(geom, t_op, *unflat(v)))
 
             def M(v):
                 r_u, r_p = unflat(v)
                 dQt, _ = tentative_solve(
                     geom, star, r_u, dt, alpha=alpha, upwind=upwind,
-                    rtol=1e-6, maxiter=60, patches=patches,
+                    rtol=1e-6, maxiter=60, op=t_op,
                 )
                 f_p = (-1.0 / dt) * weak_divergence_apply(geom, dQt) + (1.0 / dt) * r_p
                 du, dp, _, _ = pressure_solve(
@@ -109,7 +109,8 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
             Qstar = project_bdm(geom, proj, Q)
             star = star_fields(geom, Qstar)
             b_u = F.mass_apply(geom, geom.m1, Q + dt * f_nodal)
-            Q_new, p_new = solve_monolithic(geom, cs, precond, star, b_u, Q, p)
+            t_op = build_tentative_operator(geom, star, dt, alpha, upwind)
+            Q_new, p_new = solve_monolithic(geom, cs, precond, star, t_op, b_u, Q, p)
             p_new = p_new - F.integral(geom, geom.phi0, p_new) / vol
             return Q_new, p_new
 

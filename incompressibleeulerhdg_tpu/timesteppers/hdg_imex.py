@@ -46,7 +46,7 @@ from ..linalg.condense import build_condensed_system
 from ..linalg.gtmg import build_gtmg, gtmg_apply
 from ..linalg.pressure import pressure_solve
 from ..linalg.tentative import tentative_solve
-from ..linalg.preconditioners import tentative_facet_patch_build
+from ..linalg.preconditioners import build_tentative_operator
 from ..linalg.monolithic import monolithic_stage_solve
 from ..utils.logging import PerformanceLog, Averager
 
@@ -184,9 +184,9 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 )
                 Q_i, p_i, lam_i = stage_Q[i], stage_p[i], stage_lam[i]
                 if projection:
-                    patches = tentative_facet_patch_build(geom, star, c, pen, upwind)
+                    t_op = build_tentative_operator(geom, star, c, pen, upwind)
 
-                    def richardson_sweep(carry, _, r_i=r_i, c=c, star=star, patches=patches):
+                    def richardson_sweep(carry, _, r_i=r_i, c=c, star=star, t_op=t_op):
                         """One Richardson iteration (hdg_imex.py:568-599); run
                         under lax.scan so the body (two nested Krylov solves)
                         is traced/compiled once instead of n_richardson times."""
@@ -203,7 +203,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                         )
                         dQt, n_t = tentative_solve(
                             geom, star, b_tent, c, alpha=pen, upwind=upwind,
-                            rtol=rtol_t, patches=patches,
+                            rtol=rtol_t, op=t_op,
                         )
                         # mixed-Poisson update (hdg_imex.py:177-179)
                         f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt)

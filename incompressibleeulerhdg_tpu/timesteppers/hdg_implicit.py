@@ -32,7 +32,7 @@ from ..linalg.condense import build_condensed_system
 from ..linalg.gtmg import build_gtmg, gtmg_apply
 from ..linalg.pressure import pressure_solve
 from ..linalg.tentative import tentative_solve, tentative_matvec
-from ..linalg.preconditioners import tentative_facet_patch_build
+from ..linalg.preconditioners import build_tentative_operator
 from ..linalg.monolithic import monolithic_stage_solve
 from ..utils.logging import PerformanceLog
 
@@ -84,11 +84,11 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
             star = star_fields(geom, Qstar)
             if projection:
                 # 2a: tentative velocity
-                patches = tentative_facet_patch_build(geom, star, dt, alpha, upwind)
+                t_op = build_tentative_operator(geom, star, dt, alpha, upwind)
                 b = F.mass_apply(geom, geom.m1, Q + dt * f_nodal)
                 Qt, it_tent = tentative_solve(
                     geom, star, b, dt, alpha=alpha, upwind=upwind, rtol=rtol_t,
-                    patches=patches,
+                    op=t_op,
                 )
                 # 2b: pressure correction (volume-divergence rhs)
                 f_p = (-1.0 / dt) * F.cell_integrate(geom, geom.phi0, F.cell_div(geom, Qt))
