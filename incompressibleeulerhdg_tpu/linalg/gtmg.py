@@ -58,6 +58,7 @@ __all__ = ["TwoLevelTracePC", "build_gtmg", "gtmg_apply"]
         "lmax_coarse",
         "coarse_kind",
         "grid_shape",
+        "fft_f32",
     ],
 )
 @dataclass
@@ -81,6 +82,7 @@ class TwoLevelTracePC:
     n_vertices: int = 0
     coarse_kind: str = "cheb"  # "cheb" | "fft_neumann" | "fft_periodic"
     grid_shape: tuple = None
+    fft_f32: bool = False  # downcast the spectral coarse solve (TPU: no c128)
     cheb_fine: int = 2
     cheb_coarse: int = 25
     lmax_fine: float = 1.0
@@ -265,6 +267,7 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
         coarse_eig_inv=eig_inv,
         coarse_scale=coarse_scale,
         n_vertices=nv,
+        fft_f32=bool(jax.default_backend() == "tpu" and disc.dtype == jnp.float64),
         coarse_kind=coarse_kind,
         grid_shape=grid_shape,
         cheb_fine=cheb_fine,
@@ -310,16 +313,19 @@ def _coarse_solve(pc, rc):
     V-cycle cost on TPU — tiny sequential kernels are launch-bound).
     Unstructured meshes: Chebyshev over Jacobi with the gathered stencil.
     """
+    # on TPU float64 runs the FFT drops to f32 (no complex128 on TPU);
+    # elsewhere the spectral solve runs in the native dtype and is exact
+    fftdt = jnp.float32 if pc.fft_f32 else rc.dtype
     if pc.coarse_kind == "fft_neumann":
         Mx, My = pc.grid_shape
-        u = (rc * pc.coarse_scale).reshape(Mx, My)
-        c = _dct1_2d(u) * pc.coarse_eig_inv
+        u = (rc * pc.coarse_scale).reshape(Mx, My).astype(fftdt)
+        c = _dct1_2d(u) * pc.coarse_eig_inv.astype(fftdt)
         z = _dct1_2d(c) / (4.0 * (Mx - 1) * (My - 1))
         return z.reshape(-1).astype(rc.dtype)
     if pc.coarse_kind == "fft_periodic":
         nx_, ny_ = pc.grid_shape
-        u = rc.reshape(nx_, ny_)
-        c = jnp.fft.fft2(u) * pc.coarse_eig_inv
+        u = rc.reshape(nx_, ny_).astype(fftdt)
+        c = jnp.fft.fft2(u) * pc.coarse_eig_inv.astype(fftdt)
         return jnp.fft.ifft2(c).real.reshape(-1).astype(rc.dtype)
 
     def Ac(v):

@@ -11,7 +11,30 @@ error) to f64 roundoff.
 
 import jax.numpy as jnp
 
-__all__ = ["batched_inv"]
+__all__ = ["batched_inv", "gauss_jordan_inv_bl"]
+
+
+def gauss_jordan_inv_bl(A):
+    """In-place Gauss-Jordan inverse of batch-LAST matrices (n, n, m).
+
+    Unrolled over the n (<= ~40) pivot steps; every operation is a
+    lane-parallel elementwise op on (n, m) rows, so it runs at memory speed
+    on TPU where the LAPACK-style batched LU is orders of magnitude slower.
+    No pivoting: intended for the diagonally-dominant preconditioner blocks
+    (mass + penalty), whose factors only need preconditioner accuracy.
+    """
+    n = A.shape[0]
+    for k in range(n):
+        pivot = A[k, k, :]
+        inv_p = 1.0 / pivot
+        row_k = A[k, :, :] * inv_p[None, :]
+        row_k = row_k.at[k, :].set(inv_p)
+        f = A[:, k, :].at[k, :].set(0.0)  # (n, m) multipliers, zero at pivot
+        A = A - f[:, None, :] * row_k[None, :, :]
+        A = A.at[:, k, :].set(-f * inv_p[None, :])
+        A = A.at[k].set(row_k)
+        A = A.at[k, k, :].set(inv_p)
+    return A
 
 
 def batched_inv(A, newton_steps=3):
