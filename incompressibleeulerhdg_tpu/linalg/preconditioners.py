@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.fields import cell_values, interior_mask, gather_facet_contribs
+from ..ops.fields import interior_mask
 from .smallinv import batched_inv, gauss_jordan_inv_bl
 
 _register_tentative_op = partial(
@@ -31,7 +31,15 @@ def _register_tentative_op_wrap(cls):
 # facet-factor builds chunk above this facet count (bounds padded transients)
 FACET_CHUNK_THRESHOLD = 65536
 
-__all__ = ["trace_block_jacobi", "tentative_block_jacobi_build", "block_apply_cells"]
+__all__ = [
+    "trace_block_jacobi",
+    "tentative_block_jacobi_build",
+    "block_apply_cells",
+    "TentativeOperator",
+    "build_tentative_operator",
+    "tentative_operator_matvec",
+    "tentative_patch_apply",
+]
 
 
 def trace_block_jacobi(cs):
@@ -59,8 +67,9 @@ def f_impl_own_blocks(geom, star, alpha=1.0, upwind=True, csl=slice(None)):
     :arg csl: static cell slice (per-stage builds are chunked to bound the
         batch-major padded transients)
     """
-    star_q, star_n = star
-    star_q = star_q[csl]
+    star_coeff, star_n = star
+    star_coeff = star_coeff[csl]
+    star_q = jnp.einsum("qi,cia->cqa", geom.phi1, star_coeff)
     d1 = geom.d1
     ncs = star_q.shape[0]
     det = geom.det_jac[csl]

@@ -45,13 +45,15 @@ __all__ = [
 def star_fields(geom, Qstar):
     """Precompute the advecting-velocity fields used by ``f_impl``.
 
-    Returns (values at cell quadrature (nc, nq, 2),
+    Returns (Q* nodal coefficients (nc, d1, 2),
              plus-trace normal component Q*("+").n at facet quadrature (nf, nqf)).
+    Cell-quadrature values are recomputed on demand by consumers — a
+    persistent (nc, nq, 2) buffer tile-pads ~18x in HBM (2.7 GB at 256^2)
+    and was the largest live allocation of the timestep.
     """
-    vals = cell_values(geom.phi1, Qstar)
     q0, _ = facet_traces(geom, geom.tphi1, Qstar)
     qn = jnp.einsum("fqc,fc->fq", q0, geom.normal)
-    return vals, qn
+    return Qstar, qn
 
 
 def f_impl_apply(geom, star, u, alpha=1.0, upwind=True):
@@ -65,7 +67,8 @@ def f_impl_apply(geom, star, u, alpha=1.0, upwind=True):
     (the 4*avg(1/h)avg(u.n)avg(w.n) form of the penalty equals the jump form
     above because avg(u.n) = (u+ - u-).n_f / 2 and 1/h_F is single-valued).
     """
-    star_q, star_n = star
+    star_coeff, star_n = star
+    star_q = cell_values(geom.phi1, star_coeff)
     # volume: -(w, (Q*.grad) u)
     gu = cell_grads(geom, geom.gphi1, u)  # (nc, nq, 2comp, 2deriv)
     conv = jnp.einsum("cqad,cqd->cqa", gu, star_q)  # (Q*.grad)u

@@ -26,7 +26,7 @@ from ..ops.tracer import tracer_step
 from ..linalg.condense import build_condensed_system
 from ..linalg.gtmg import build_gtmg, gtmg_apply
 from ..linalg.pressure import pressure_solve
-from ..linalg.tentative import tentative_solve, tentative_matvec
+from ..linalg.tentative import tentative_solve
 from ..linalg.preconditioners import build_tentative_operator, tentative_operator_matvec
 from ..linalg.krylov import fgmres
 from ..utils.logging import PerformanceLog

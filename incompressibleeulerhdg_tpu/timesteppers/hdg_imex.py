@@ -36,7 +36,6 @@ from ..ops.forms import (
     f_impl_apply,
     pressure_gradient_apply,
     weak_divergence_apply,
-    trace_mass_apply,
     reconstruct_trace_rhs,
 )
 from ..ops.projection import project_bdm
@@ -167,9 +166,12 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 fx, fy = fn(x[..., 0], x[..., 1])
                 return jnp.stack(jnp.broadcast_arrays(fx, fy), axis=-1).astype(out_dtype)
 
-            # forcing at stage times (hdg_imex.py:554-557)
-            b_rhs = [interp_velocity(f_rhs_fn(tn + c_expl[i] * dt)) for i in range(s)]
-            Mb = [mass(b) for b in b_rhs]
+            # forcing at stage times (hdg_imex.py:554-557); only the
+            # mass-weighted values are needed downstream
+            Mb = [
+                mass(interp_velocity(f_rhs_fn(tn + c_expl[i] * dt)))
+                for i in range(s)
+            ]
             MQ = [mass(stage_Q[0])]
             q_stages = [q_tracer] if with_tracer else None
 

@@ -17,8 +17,6 @@ The whole timestep is one jitted function; the host loop only runs callbacks
 and progress reporting.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import tqdm
@@ -31,7 +29,7 @@ from ..ops.tracer import tracer_step
 from ..linalg.condense import build_condensed_system
 from ..linalg.gtmg import build_gtmg, gtmg_apply
 from ..linalg.pressure import pressure_solve
-from ..linalg.tentative import tentative_solve, tentative_matvec
+from ..linalg.tentative import tentative_solve
 from ..linalg.preconditioners import build_tentative_operator
 from ..linalg.monolithic import monolithic_stage_solve
 from ..utils.logging import PerformanceLog

@@ -120,3 +120,56 @@ def test_imex_unsplit_second_order():
     assert e1Q < 0.05
     rate = np.log2(e1Q / e2Q)
     assert rate > 1.5, (e1Q, e2Q, rate)
+
+
+def test_imex_ars2_and_ssp3_run_accurately():
+    """ARS2(2,3,2) and SSP3(4,3,3) tableaus integrate the vortex accurately
+    (second/third-order schemes: tiny errors at dt = 0.1)."""
+    from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
+        IncompressibleEulerHDGIMEXARS2_232,
+        IncompressibleEulerHDGIMEXSSP3_433,
+    )
+
+    eQ, _ = run_taylor_green(IncompressibleEulerHDGIMEXARS2_232, 4, 1, 0.1)
+    assert eQ < 0.02, eQ
+    eQ, _ = run_taylor_green(IncompressibleEulerHDGIMEXSSP3_433, 4, 1, 0.1)
+    assert eQ < 0.02, eQ
+
+
+def test_imex_ars3_five_stage_runs():
+    """ARS3(4,4,3): 5 stages with the corrected b_impl weights."""
+    from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
+        IncompressibleEulerHDGIMEXARS3_443,
+    )
+
+    eQ, _ = run_taylor_green(IncompressibleEulerHDGIMEXARS3_443, 4, 1, 0.1)
+    assert eQ < 0.02, eQ
+
+
+def test_centered_flux_variant():
+    """The centered-flux branch (reference --flux centered) runs and converges."""
+    eQ, _ = run_taylor_green(
+        IncompressibleEulerHDGIMEXSSP2_332, 4, 1, 0.1, flux="centered"
+    )
+    assert eQ < 0.02, eQ
+
+
+def test_higher_degree_k2():
+    """k=2 spatial discretisation: spatial error far below k=1 at same mesh."""
+    e1, _ = run_taylor_green(IncompressibleEulerHDGIMEXSSP2_332, 4, 1, 0.05)
+    e2, _ = run_taylor_green(IncompressibleEulerHDGIMEXSSP2_332, 4, 2, 0.05)
+    assert e2 < e1, (e1, e2)
+    # remaining error is the O(dt^2) time error of SSP2 at dt = 0.05
+    assert e2 < 1e-3, e2
+
+
+def test_pressure_solver_benchmark_api():
+    """--test_pressure_solver path: working signature (reference's is stale,
+    SURVEY.md section 3.2)."""
+    from incompressibleeulerhdg_tpu.fem.discretisation import HDGDiscretisation
+
+    disc = HDGDiscretisation(unit_square_mesh(4), 1)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    t_solve, its = stepper.test_pressure_solver(seed=123456789)
+    assert t_solve > 0
+    assert 0 < its < 100
