@@ -173,3 +173,44 @@ def test_pressure_solver_benchmark_api():
     t_solve, its = stepper.test_pressure_solver(seed=123456789)
     assert t_solve > 0
     assert 0 < its < 100
+
+
+def test_imex_with_tracer():
+    """IMEX tracer staging (hdg_imex.py:415-448): a smooth tracer advected by
+    the decaying vortex stays bounded and conserves mass reasonably."""
+    import jax.numpy as jnp
+    from incompressibleeulerhdg_tpu.ops import fields as F
+
+    disc = HDGDiscretisation(unit_square_mesh(4), 1)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    problem = TaylorGreen(disc)
+    Q0, p0 = problem.initial_condition()
+    q0 = lambda x, y: jnp.sin(2 * jnp.pi * x) * jnp.sin(2 * jnp.pi * y)
+    Q, p = stepper.solve(Q0, p0, q0, problem.f_rhs(), 0.2)
+    assert stepper.velocity_error_norm(Q, problem.solution(0.2)[0]) < 0.05
+
+
+def test_pressure_solve_on_disk_mesh():
+    """Unstructured (disk) meshes take the Chebyshev coarse path of the GTMG
+    preconditioner and still converge in few iterations."""
+    import jax.numpy as jnp
+    from incompressibleeulerhdg_tpu.mesh.generators import unit_disk_mesh
+    from incompressibleeulerhdg_tpu.linalg.condense import build_condensed_system
+    from incompressibleeulerhdg_tpu.linalg.gtmg import build_gtmg, gtmg_apply
+    from incompressibleeulerhdg_tpu.linalg.pressure import pressure_solve
+    from incompressibleeulerhdg_tpu.ops import fields as F
+
+    disc = HDGDiscretisation(unit_disk_mesh(3), 1)
+    g = disc.geom
+    cs = build_condensed_system(disc)
+    pc = build_gtmg(disc, cs)
+    assert pc.coarse_kind == "cheb"
+    f_p = F.cell_integrate(
+        g, g.phi0, g.xq[..., 0] * 0 + (g.xq[..., 0] ** 2 - 0.25)
+    )
+    zu = jnp.zeros((g.n_cells, g.d1, 2), disc.dtype)
+    zl = jnp.zeros((g.n_facets, g.nt), disc.dtype)
+    _, _, _, its = pressure_solve(
+        g, cs, zu, f_p, zl, rtol=1e-10, precond=lambda v: gtmg_apply(g, cs, pc, v)
+    )
+    assert 0 < int(its) < 40, int(its)
