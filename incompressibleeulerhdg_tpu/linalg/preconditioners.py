@@ -193,10 +193,10 @@ class TentativeOperator:
 def _bm(A, x):
     """Batch-last block matvec: (nu, nu, n) x (nu, n) -> (nu, n).
 
-    Written as broadcast-multiply + reduce so XLA keeps the batch dimension
-    in the lanes (a dot_general could transpose to batch-major layouts).
+    einsum form: XLA fuses the multiply-reduce without materialising the
+    table-sized (nu, nu, n) product temporary of the broadcast form.
     """
-    return jnp.sum(A * x[None, :, :], axis=1)
+    return jnp.einsum("ijn,jn->in", A, x)
 
 
 def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
