@@ -214,3 +214,19 @@ def test_pressure_solve_on_disk_mesh():
         g, cs, zu, f_p, zl, rtol=1e-10, precond=lambda v: gtmg_apply(g, cs, pc, v)
     )
     assert 0 < int(its) < 40, int(its)
+
+
+def test_float32_fast_path():
+    """The dtype config axis: the f32 TPU fast path produces a solution
+    within f32-appropriate distance of the f64 one (dtype-scaled solver
+    tolerances engage automatically)."""
+    import jax.numpy as jnp
+
+    e64, _ = run_taylor_green(IncompressibleEulerHDGIMEXSSP2_332, 4, 1, 0.1)
+    disc = HDGDiscretisation(unit_square_mesh(4), 1, dtype=jnp.float32)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    problem = TaylorGreen(disc)
+    Q0, p0 = problem.initial_condition()
+    Q, p = stepper.solve(Q0, p0, None, problem.f_rhs(), 0.2)
+    e32 = stepper.velocity_error_norm(Q, problem.solution(0.2)[0])
+    assert abs(e32 - e64) < 1e-4 + 0.05 * e64, (e32, e64)
