@@ -1,12 +1,13 @@
-"""Preconditioners for the matrix-free Krylov solvers.
+"""Preconditioners and assembled operators for the matrix-free Krylov solvers.
 
-Round-1 set:
-- facet-block Jacobi for the condensed trace system (upgraded to the
-  GTMG-equivalent two-level scheme in linalg/gtmg.py)
-- cell-block Jacobi for the DG tentative-velocity operator (the TPU-native
-  replacement for the ILU preconditioner at hdg_imex.py:224-228: the DG
-  advection operator is block-dominant, and batched dense block inverses are
-  the natural TPU patch solver)
+- TentativeOperator: the per-stage tentative velocity operator M - c f_impl
+  assembled into batch-last dense blocks (own-cell D + facet cross blocks),
+  applied as a block SpMV and preconditioned by overlapping facet-pair
+  additive Schwarz in block-Schur form — the TPU-native replacement for the
+  GMRES+ILU tentative solver of the reference (hdg_imex.py:224-228)
+- facet-block Jacobi for the condensed trace system (the default when the
+  GTMG two-level scheme of linalg/gtmg.py is not supplied)
+- cell-block Jacobi fallback for the tentative operator
 """
 
 from dataclasses import dataclass

@@ -1,4 +1,4 @@
-"""Tentative (advective) velocity solve: matrix-free GMRES + block Jacobi.
+"""Tentative (advective) velocity solve.
 
 TPU-native equivalent of the reference's per-stage tentative velocity solver
 (GMRES + ILU, rtol 1e-10; /root/reference/src/timesteppers/hdg_imex.py:223-255
@@ -7,7 +7,10 @@ and the in-loop solve of hdg_implicit.py:103-129).  The operator is
     a(u, w) = (w, u) - c * f_impl(w, u, Q*),    c = a_ii * dt
 
 which couples neighbouring cells through the advective/penalty/upwind facet
-terms; the preconditioner is the batched inverse of its cell-diagonal blocks.
+terms.  The production path passes an assembled TentativeOperator (``op=``):
+block-SpMV matvec + facet-pair Schwarz preconditioner, both built once per
+stage.  Weak-form matvec with block-Jacobi or colored Gauss-Seidel remain as
+reference/fallback paths.
 """
 
 import jax.numpy as jnp
