@@ -166,13 +166,16 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 fx, fy = fn(x[..., 0], x[..., 1])
                 return jnp.stack(jnp.broadcast_arrays(fx, fy), axis=-1).astype(out_dtype)
 
-            # forcing at stage times (hdg_imex.py:554-557); only the
-            # mass-weighted values are needed downstream
-            Mb = [
-                mass(interp_velocity(f_rhs_fn(tn + c_expl[i] * dt)))
-                for i in range(s)
-            ]
-            MQ = [mass(stage_Q[0])]
+            # forcing at stage times (hdg_imex.py:554-557) and mass-weighted
+            # stage velocities, both computed on demand: retaining 2s
+            # (nc, d1, 2) buffers costs ~1-4 GB each in padded HBM layout,
+            # and recomputation is a cheap fused einsum
+            def Mb(j):
+                return mass(interp_velocity(f_rhs_fn(tn + c_expl[j] * dt)))
+
+            def MQ(j):
+                return mass(stage_Q[j])
+
             q_stages = [q_tracer] if with_tracer else None
 
             for i in range(1, s):
@@ -180,9 +183,9 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 Qstar = project_bdm(geom, proj, stage_Q[i - 1])
                 star = star_fields(geom, Qstar)
                 # unrolled residual r_i (hdg_imex.py:367-391)
-                r_i = sum(alpha[i][j] * MQ[j] for j in range(i) if alpha[i][j] != 0)
+                r_i = sum(alpha[i][j] * MQ(j) for j in range(i) if alpha[i][j] != 0)
                 r_i = r_i + sum(
-                    dt * beta[i][j] * Mb[j] for j in range(i) if beta[i][j] != 0
+                    dt * beta[i][j] * Mb(j) for j in range(i) if beta[i][j] != 0
                 )
                 Q_i, p_i, lam_i = stage_Q[i], stage_p[i], stage_lam[i]
                 if projection:
@@ -243,7 +246,6 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     its_p.append(n_p)
                 p_i, lam_i = shift(p_i, lam_i)  # hdg_imex.py:621
                 stage_Q[i], stage_p[i], stage_lam[i] = Q_i, p_i, lam_i
-                MQ.append(mass(Q_i))
                 if q_stages is not None:
                     # tracer stage solve (hdg_imex.py:415-432,623)
                     b_q = F.mass_apply(geom, geom.m0, q_stages[0])
@@ -255,9 +257,9 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     q_stages.append(F.mass_solve(geom, geom.m0inv, b_q))
 
             # final stage mixed solve (hdg_imex.py:190-198,624)
-            r_fin = sum(alpha_f[j] * MQ[j] for j in range(s) if alpha_f[j] != 0)
+            r_fin = sum(alpha_f[j] * MQ(j) for j in range(s) if alpha_f[j] != 0)
             r_fin = r_fin + sum(
-                dt * beta_f[j] * Mb[j] for j in range(s) if beta_f[j] != 0
+                dt * beta_f[j] * Mb(j) for j in range(s) if beta_f[j] != 0
             )
             Q_new, p_new, lam_new, n_fp = pressure_solve(
                 geom,
