@@ -63,8 +63,11 @@ __all__ = ["Geom", "HDGDiscretisation"]
         "m1inv",
         "m0inv",
         "mtinv",
+        "fcol_pos",
+        "fcol_side",
+        "fcol_mask",
     ],
-    meta_fields=["n_int", "degree"],
+    meta_fields=["n_int", "degree", "fcol_bounds", "fcol_orphans"],
 )
 @dataclass
 class Geom:
@@ -114,9 +117,19 @@ class Geom:
     m0inv: jnp.ndarray  # (d0, d0)
     mtinv: jnp.ndarray  # (nt, nt)
 
+    # facet-color patch maps (interior facets are color-sorted in the mesh):
+    # for each color k and cell c, the within-color position of c's color-k
+    # facet, which side c is on, and whether c has a color-k facet at all.
+    # Drives the multiplicative colored Schwarz tentative preconditioner.
+    fcol_pos: jnp.ndarray = None  # (ncol, nc) int32
+    fcol_side: jnp.ndarray = None  # (ncol, nc) int32
+    fcol_mask: jnp.ndarray = None  # (ncol, nc) float
+
     # static metadata
     n_int: int = 0
     degree: int = 1
+    fcol_bounds: tuple = ()  # color slice offsets into the facet axis
+    fcol_orphans: bool = False  # any cell with no interior facet?
 
     @property
     def n_cells(self):
@@ -180,6 +193,22 @@ class HDGDiscretisation:
         xnodes1 = m.map_to_physical(self.V1.nodes)
         xnodes0 = m.map_to_physical(self.V0.nodes)
 
+        # per-color cell maps for the multiplicative facet-patch Schwarz
+        bounds = m.facet_color_bounds
+        ncol = len(bounds) - 1
+        nc = m.n_cells
+        fcol_pos = np.zeros((ncol, nc), dtype=np.int32)
+        fcol_side = np.zeros((ncol, nc), dtype=np.int32)
+        fcol_mask = np.zeros((ncol, nc))
+        for k in range(ncol):
+            fk = np.arange(bounds[k], bounds[k + 1])
+            for s in (0, 1):
+                cks = m.facet_cells[fk, s]
+                fcol_pos[k, cks] = fk - bounds[k]
+                fcol_side[k, cks] = s
+                fcol_mask[k, cks] = 1.0
+        fcol_orphans = bool(np.any(fcol_mask.sum(axis=0) == 0.0))
+
         self.geom = Geom(
             wq=f(self.V1.qw),
             phi1=f(self.V1.phi),
@@ -213,8 +242,13 @@ class HDGDiscretisation:
             m1inv=f(self.V1.mass_ref_inv),
             m0inv=f(self.V0.mass_ref_inv),
             mtinv=f(self.Vt.mass_ref_inv),
+            fcol_pos=i32(fcol_pos),
+            fcol_side=i32(fcol_side),
+            fcol_mask=f(fcol_mask),
             n_int=int(m.n_interior_facets),
             degree=k,
+            fcol_bounds=tuple(int(b) for b in bounds),
+            fcol_orphans=fcol_orphans,
         )
 
         self.domain_volume = m.domain_volume

@@ -40,6 +40,7 @@ __all__ = [
     "build_tentative_operator",
     "tentative_operator_matvec",
     "tentative_patch_apply",
+    "tentative_colored_apply",
 ]
 
 
@@ -175,6 +176,12 @@ class TentativeOperator:
     in HBM; with the huge batch dim in the lanes the storage is exact and
     every application is a lane-parallel fused multiply-reduce.
 
+    Local dof flattening is COMPONENT-MAJOR (dof = a * d1 + i for velocity
+    component a, scalar basis index i): a (2, d1, nc) batch-last field
+    reshapes to (nu, nc) for free, and block pieces materialise as
+    (2, d1, 2, d1, n) arrays whose minormost-two dims (d1, n) tile almost
+    exactly (the (d1, 2, ..., n) ordering of an i-major flattening pads 4x).
+
     The Krylov matvec uses the SAME blocks as the Schwarz patches: assembling
     once per stage and applying dense blocks replaces re-deriving the weak
     form from tabulations per application (which built 25x-padded per-quad
@@ -187,8 +194,6 @@ class TentativeOperator:
     Dinv: jnp.ndarray  # (nu, nu, nc)
     Sinv: jnp.ndarray  # (nu, nu, nf) patch Schur inverses
     Dinv0: jnp.ndarray  # (nu, nu, nf) Dinv gathered to each facet's plus cell
-    # (gathered once per stage at build; a per-application gather along the
-    # minor axis is strided and measured 7x slower than streaming reads)
 
 
 def _bm(A, x):
@@ -200,8 +205,21 @@ def _bm(A, x):
     return jnp.einsum("ijn,jn->in", A, x)
 
 
+def _bmm(A, B):
+    """Batch-last block matmul: (n, n, m) x (n, n, m) -> (n, n, m).
+
+    Unrolled over the contraction index as lane-parallel FMAs: einsum /
+    dot_general with the batch in the minor dim relayouts the operands to
+    batch-major (25x padded) and is measured ~8x slower at this size.
+    """
+    out = 0.0
+    for k in range(A.shape[1]):
+        out = out + A[:, k, None, :] * B[None, k, :, :]
+    return out
+
+
 def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
-    """Assemble blocks + overlapping facet-pair Schwarz factors per stage.
+    """Assemble blocks + facet-pair Schwarz factors per stage, batch-last.
 
     The 2x2 cell-block patch  [[D_plus, -c K01], [-c K10, D_minus]]  is
     factorised in block-Schur form: per-cell D^{-1} (shared by the three
@@ -209,107 +227,174 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     resolves the O(alpha/h) normal-jump penalty couplings that make block
     Jacobi/Gauss-Seidel degrade under mesh refinement — the TPU-native
     analogue of the reference's ILU preconditioner (hdg_imex.py:224-228).
+
+    Assembly strategy (everything batch-last; no batch-major transients):
+    every facet integrand separates into STATIC reference-table factors and
+    per-entity coefficients, so blocks are sums of
+       (static (d1, d1, nqf) tables) x (per-entity (nqf, n) coefficients)
+    GEMMs plus rank-one n (x) n penalty terms with per-entity scalars.  The
+    6 facet trace tables enter via one-hot masks on the per-entity
+    coefficients, never via (n, nqf, d1) table gathers (which tile-pad ~13x
+    and dominated the previous build at 1.7 s per stage).
     """
+    star_coeff, star_n = star  # (nc, d1, 2), (nf, nqf)
     d1 = geom.d1
     nu = 2 * d1
-    dtype = star[0].dtype
-    eye2 = jnp.eye(2, dtype=dtype)
-    t = lambda A: jnp.transpose(A, (1, 2, 0))
-
-    # cell-diagonal blocks built in static chunks: batch-major (chunk, nu, nu)
-    # intermediates tile-pad ~6x in HBM; chunking bounds the transient peak
-    # (full-size builds OOMed 256^2 k=2 from the padding alone)
     nc = geom.n_cells
-    ncch = 8 if nc > FACET_CHUNK_THRESHOLD // 2 else 1
-    cbounds = [round(i * nc / ncch) for i in range(ncch + 1)]
-    D_chunks, Dinv_chunks = [], []
-    for c0_, c1_ in zip(cbounds[:-1], cbounds[1:]):
-        csl = slice(c0_, c1_)
-        fblk = f_impl_own_blocks(geom, star, alpha, upwind, csl=csl).reshape(
-            c1_ - c0_, nu, nu
-        )
-        massc = (
-            geom.det_jac[csl, None, None, None, None]
-            * geom.m1[None, :, None, :, None]
-            * eye2[None, None, :, None, :]
-        ).reshape(c1_ - c0_, nu, nu)
-        Dc = massc - c * fblk
-        Dc_bl = t(Dc)
-        D_chunks.append(Dc_bl)
-        Dinv_chunks.append(gauss_jordan_inv_bl(Dc_bl))
-    D_bl = jnp.concatenate(D_chunks, axis=2)
-    Dinv_bl = jnp.concatenate(Dinv_chunks, axis=2)
-
     nf = geom.n_facets
-    n_chunks = 8 if nf > FACET_CHUNK_THRESHOLD else 1
-    bounds = [round(i * nf / n_chunks) for i in range(n_chunks + 1)]
+    nqf = geom.wqf.shape[0]
+    dtype = star_coeff.dtype
+    eye2 = jnp.eye(2, dtype=dtype)
+    upw = 1.0 if upwind else 0.0
+
+    # ------------------------------------------------------------------
+    # own-cell blocks D = mass - c * f_impl_own
+    # ------------------------------------------------------------------
+    star_bl = jnp.transpose(star_coeff, (2, 1, 0))  # (2, d1, nc)
+    snq = star_n.T  # (nqf, nf)
+    jinv_bl = jnp.transpose(geom.jac_inv, (1, 2, 0))  # (2=b, 2=a, nc)
+
+    # volume convection  +c * int phi_i (Q*.grad) phi_j  (= -c * vol_f_impl)
+    star_q = jnp.einsum("qi,aic->aqc", geom.phi1, star_bl)  # (2, nq, nc)
+    R = jnp.einsum("bac,aqc->bqc", jinv_bl, star_q)  # (2=b, nq, nc)
+    Gvol = jnp.einsum("q,qi,qjb->ijbq", geom.wq, geom.phi1, geom.gphi1)
+    S_own = c * geom.det_jac[None, None, :] * jnp.einsum("ijbq,bqc->ijc", Gvol, R)
+    # mass
+    S_own = S_own + geom.det_jac[None, None, :] * geom.m1[:, :, None]
+
+    # facet terms accumulated per trace table t via one-hot masks:
+    #   scalar (delta_ab):  -c * (0.5 sgn sn - upw |sn|) , interior only
+    #   penalty (n (x) n):  +c * alpha / h_F              , all facets
+    Gt = jnp.einsum("tqi,tqj->tijq", geom.tphi1, geom.tphi1)  # (6, d1, d1, nqf)
+    Pt = jnp.einsum("q,tqi,tqj->tij", geom.wqf, geom.tphi1, geom.tphi1)  # (6, d1, d1)
+    Ct = jnp.zeros((6, nqf, nc), dtype)
+    NNt = jnp.zeros((6, 2, 2, nc), dtype)
+    for l in range(3):
+        fl = geom.cell_facets[:, l]
+        sn_l = snq[:, fl]  # (nqf, nc)
+        int_l = 1.0 - geom.cf_bnd[:, l].astype(dtype)  # (nc,)
+        w_l = geom.wqf[:, None] * geom.flen[fl][None, :]  # (nqf, nc)
+        coeff = (-c) * (
+            0.5 * geom.cfsign[:, l][None, :] * sn_l - upw * jnp.abs(sn_l)
+        ) * w_l * int_l[None, :]
+        pen_l = c * alpha * geom.hF_inv[fl] * geom.flen[fl]  # (nc,)
+        n_l = geom.normal[fl].T  # (2, nc)
+        nn_l = n_l[:, None, :] * n_l[None, :, :]  # (2, 2, nc)
+        onehot = (geom.cf_tab[:, l][None, :] == jnp.arange(6)[:, None]).astype(dtype)
+        Ct = Ct + onehot[:, None, :] * coeff[None, :, :]
+        NNt = NNt + onehot[:, None, None, :] * (pen_l[None, None, :] * nn_l)[None]
+    S_own = S_own + jnp.einsum("tijq,tqc->ijc", Gt, Ct)
+    D5 = jnp.einsum("ab,ijc->aibjc", eye2, S_own) + jnp.einsum(
+        "tij,tabc->aibjc", Pt, NNt
+    )
+    D_bl = D5.reshape(nu, nu, nc)
+    Dinv_bl = gauss_jordan_inv_bl(D_bl)
+
+    # ------------------------------------------------------------------
+    # cross blocks Bx = -c K01 (plus rows, minus cols), Cx = -c K10
+    # ------------------------------------------------------------------
+    # per-facet trace tables selected by one-hot sums (static per mesh):
+    onehot0 = (geom.ftab[:, 0][None, :] == jnp.arange(6)[:, None]).astype(dtype)
+    onehot1 = (geom.ftab[:, 1][None, :] == jnp.arange(6)[:, None]).astype(dtype)
+    U0 = jnp.einsum("tf,tqi->iqf", onehot0, geom.tphi1)  # (d1, nqf, nf)
+    U1 = jnp.einsum("tf,tqi->iqf", onehot1, geom.tphi1)
+    msk = interior_mask(geom, 1)  # (nf,)
+    wf = geom.wqf[:, None] * geom.flen[None, :]  # (nqf, nf)
+    s01 = (-c) * (-0.5 * snq + upw * jnp.abs(snq)) * wf * msk[None, :]
+    s10 = (-c) * (+0.5 * snq + upw * jnp.abs(snq)) * wf * msk[None, :]
+    penf = (-c) * alpha * geom.hF_inv * msk  # (nf,)
+    nnf = geom.normal.T[:, None, :] * geom.normal.T[None, :, :]  # (2, 2, nf)
+
+    K01s = jnp.einsum("iqf,jqf->ijf", U0, U1 * s01[None])
+    K01p = jnp.einsum("iqf,jqf->ijf", U0, U1 * wf[None]) * penf[None, None, :]
+    Bx = (
+        jnp.einsum("ab,ijf->aibjf", eye2, K01s)
+        + K01p[None, :, None, :, :] * nnf[:, None, :, None, :]
+    ).reshape(nu, nu, nf)
+    K10s = jnp.einsum("iqf,jqf->ijf", U1, U0 * s10[None])
+    K10p = jnp.einsum("iqf,jqf->ijf", U1, U0 * wf[None]) * penf[None, None, :]
+    Cx = (
+        jnp.einsum("ab,ijf->aibjf", eye2, K10s)
+        + K10p[None, :, None, :, :] * nnf[:, None, :, None, :]
+    ).reshape(nu, nu, nf)
+    # multi-consumer tables: materialise so XLA does not refuse (= recompute)
+    # their producer chains into every consumer
+    Bx, Cx = jax.lax.optimization_barrier((Bx, Cx))
+
+    # ------------------------------------------------------------------
+    # patch Schur factors  S = D_minus - Cx Dinv_plus Bx
+    # ------------------------------------------------------------------
+    Dinv0 = jax.lax.optimization_barrier(Dinv_bl[:, :, geom.fcells[:, 0]])
+    D1 = D_bl[:, :, geom.fcells[:, 1]]
+    # unrolled-k FMA products: einsum/dot_general on lane-batched (n, n, nf)
+    # operands triggers a batch-relayout path measured 8x slower
+    Sc = D1 - _bmm(Cx, _bmm(Dinv0, Bx))
     eye = jnp.eye(nu, dtype=dtype)
-    msk_all = interior_mask(geom, 1)
-    Bs, Cs, Sinvs = [], [], []
-    for f0, f1 in zip(bounds[:-1], bounds[1:]):
-        fsl = slice(f0, f1)
-        K01, K10 = f_impl_cross_blocks(geom, star, alpha, upwind, fsl=fsl)
-        Bc = (-c) * K01.reshape(f1 - f0, nu, nu)  # plus-row, minus-col
-        Cc = (-c) * K10.reshape(f1 - f0, nu, nu)  # minus-row, plus-col
-        c0 = geom.fcells[fsl, 0]
-        c1 = geom.fcells[fsl, 1]
-        D1c = jnp.transpose(D_bl[:, :, c1], (2, 0, 1))
-        Dinv0c = jnp.transpose(Dinv_bl[:, :, c0], (2, 0, 1))
-        Sc = D1c - jnp.einsum("fij,fjk,fkl->fil", Cc, Dinv0c, Bc)
-        # boundary facets: minus block unused; identity Schur factor
-        mskc = msk_all[fsl][:, None, None]
-        Sc = jnp.where(mskc > 0, Sc, jnp.broadcast_to(eye, Sc.shape))
-        Bs.append(t(Bc))
-        Cs.append(t(Cc))
-        Sinvs.append(gauss_jordan_inv_bl(t(Sc)))
-    Bx = jnp.concatenate(Bs, axis=2)
-    Cx = jnp.concatenate(Cs, axis=2)
-    Sinv = jnp.concatenate(Sinvs, axis=2)
-    Dinv0 = Dinv_bl[:, :, geom.fcells[:, 0]]
+    Sc = jnp.where(msk[None, None, :] > 0, Sc, eye[:, :, None])
+    Sinv = gauss_jordan_inv_bl(Sc)
+
     return TentativeOperator(
         D=D_bl, Bx=Bx, Cx=Cx, Dinv=Dinv_bl, Sinv=Sinv, Dinv0=Dinv0
     )
 
 
-def _gather_sides(geom, u2):
-    """Plus/minus cell rows of a (nc, nu) field, returned batch-last (nu, nf).
+def _to_bl(u):
+    """(nc, d1, 2) field -> component-major batch-last (nu, nc)."""
+    nc, d1, _ = u.shape
+    return jnp.transpose(u, (2, 1, 0)).reshape(2 * d1, nc)
 
-    Row gathers in batch-major layout (contiguous) followed by a transpose
-    beat direct minor-axis gathers on batch-last data (strided) by ~7x.
-    """
-    msk = interior_mask(geom, 1)[:, None]
-    u0 = u2[geom.fcells[:, 0]].T
-    u1 = (u2[geom.fcells[:, 1]] * msk).T
+
+def _from_bl(ub, d1):
+    """(nu, nc) component-major batch-last -> (nc, d1, 2)."""
+    return jnp.transpose(ub.reshape(2, d1, -1), (2, 1, 0))
+
+
+def _gather_sides_bl(geom, ub):
+    """Plus/minus cell columns of a (nu, nc) field: two (nu, nf) lane gathers."""
+    msk = interior_mask(geom, 1)[None, :]
+    u0 = ub[:, geom.fcells[:, 0]]
+    u1 = ub[:, geom.fcells[:, 1]] * msk
     return u0, u1
 
 
-def _assemble_cells(geom, z0, z1, nu):
-    """Facet->cell assembly: batch-last (nu, nf) sides -> (nc, nu) sum.
+def _assemble_cells_bl(geom, z0, z1):
+    """Facet->cell assembly: (nu, nf) sides -> (nu, nc) sum.
 
-    Row-slice gathers (each index fetches a contiguous nu-row): TPU gathers
-    are efficient per-slice, catastrophic per-scalar.
+    One lane gather per local facet from the side-concatenated array
+    (scatters serialize on TPU; every cell has exactly three facets).
     """
-    z0m = z0.T  # (nf, nu)
-    z1m = z1.T
-    cf = geom.cell_facets
-    a0 = z0m[cf]  # (nc, 3, nu)
-    a1 = z1m[cf]
-    sel = (geom.cfside == 0)[:, :, None]
-    return jnp.where(sel, a0, a1).sum(axis=1)
+    zcat = jnp.concatenate([z0, z1], axis=1)  # (nu, 2 nf)
+    nf = z0.shape[1]
+    out = 0.0
+    for l in range(3):
+        idx = geom.cell_facets[:, l] + geom.cfside[:, l] * nf
+        out = out + zcat[:, idx]
+    return out
+
+
+def _matvec_bl(geom, op, ub):
+    """Assembled-block application on a component-major (nu, nc) field."""
+    r = _bm(op.D, ub)
+    msk = interior_mask(geom, 1)[None, :]
+    u0, u1 = _gather_sides_bl(geom, ub)
+    z0 = _bm(op.Bx, u1)  # contribution to plus-cell rows
+    z1 = _bm(op.Cx, u0) * msk  # minus-cell rows (zero on boundary)
+    return r + _assemble_cells_bl(geom, z0, z1)
 
 
 def tentative_operator_matvec(geom, op, u):
     """Assembled-block application of M - c f_impl: (nc, d1, 2) -> same."""
-    nc, d1, _ = u.shape
-    nu = 2 * d1
-    u2 = u.reshape(nc, nu)
-    r = _bm(op.D, u2.T)  # (nu, nc)
+    return _from_bl(_matvec_bl(geom, op, _to_bl(u)), u.shape[1])
+
+
+def _patch_apply_bl(geom, op, rb):
+    """Additive Schwarz on a component-major (nu, nc) residual."""
     msk = interior_mask(geom, 1)[None, :]
-    u0, u1 = _gather_sides(geom, u2)
-    z0 = _bm(op.Bx, u1)  # contribution to plus-cell rows
-    z1 = _bm(op.Cx, u0) * msk  # minus-cell rows (zero on boundary)
-    out = r.T + _assemble_cells(geom, z0, z1, nu)
-    return out.reshape(nc, d1, 2)
+    r0, r1 = _gather_sides_bl(geom, rb)
+    t = r1 - _bm(op.Cx, _bm(op.Dinv0, r0))
+    y1 = _bm(op.Sinv, t) * msk
+    y0 = _bm(op.Dinv0, r0 - _bm(op.Bx, y1))
+    return _assemble_cells_bl(geom, y0, y1) / 3.0
 
 
 def tentative_patch_apply(geom, op, r):
@@ -318,16 +403,53 @@ def tentative_patch_apply(geom, op, r):
     Per interior facet:  y1 = Sinv (r1 - C D0inv r0);  y0 = D0inv (r0 - B y1);
     partition-of-unity weight 1/3 (every cell sits in exactly 3 patches).
     """
-    nc, d1, _ = r.shape
-    nu = 2 * d1
-    r2 = r.reshape(nc, nu)
-    msk = interior_mask(geom, 1)[None, :]
-    r0, r1 = _gather_sides(geom, r2)
-    t = r1 - _bm(op.Cx, _bm(op.Dinv0, r0))
-    y1 = _bm(op.Sinv, t) * msk
-    y0 = _bm(op.Dinv0, r0 - _bm(op.Bx, y1))
-    out = _assemble_cells(geom, y0, y1, nu)
-    return (out / 3.0).reshape(nc, d1, 2)
+    return _from_bl(_patch_apply_bl(geom, op, _to_bl(r)), r.shape[1])
+
+
+def _patch_color(geom, op, k, rb):
+    """Exact solves of the disjoint facet-pair patches of one color.
+
+    :arg rb: residual (nu, nc) component-major; returns (nu, nc), zero on
+        cells without a color-k facet (those are untouched by this sweep).
+    """
+    b0, b1 = geom.fcol_bounds[k], geom.fcol_bounds[k + 1]
+    r0 = rb[:, geom.fcells[b0:b1, 0]]  # (nu, nfk)
+    r1 = rb[:, geom.fcells[b0:b1, 1]]
+    Dinv0 = op.Dinv0[:, :, b0:b1]
+    t = r1 - _bm(op.Cx[:, :, b0:b1], _bm(Dinv0, r0))
+    y1 = _bm(op.Sinv[:, :, b0:b1], t)
+    y0 = _bm(Dinv0, r0 - _bm(op.Bx[:, :, b0:b1], y1))
+    ycat = jnp.concatenate([y0, y1], axis=1)  # (nu, 2 nfk)
+    idx = geom.fcol_pos[k] + geom.fcol_side[k] * (b1 - b0)
+    return ycat[:, idx] * geom.fcol_mask[k][None, :]
+
+
+def _colored_apply_bl(geom, op, rb):
+    """Multiplicative colored sweep on a component-major (nu, nc) residual."""
+    ncol = len(geom.fcol_bounds) - 1
+    z = _patch_color(geom, op, 0, rb)
+    if geom.fcol_orphans:
+        orphan = (jnp.sum(geom.fcol_mask, axis=0) == 0.0).astype(rb.dtype)
+        z = z + _bm(op.Dinv, rb) * orphan[None, :]
+    for k in range(1, ncol):
+        rk = rb - _matvec_bl(geom, op, z)
+        z = z + _patch_color(geom, op, k, rk)
+    return z
+
+
+def tentative_colored_apply(geom, op, r):
+    """Multiplicative colored facet-pair Schwarz sweep.
+
+    Block Gauss-Seidel over the conflict-free facet colors (interior facets
+    are color-sorted in the mesh; on structured triangulations each color is
+    a perfect matching of cells).  Solving the patches of one color exactly,
+    updating the residual, and moving to the next color resolves the
+    O(alpha/h) normal-jump penalty couplings *sequentially* — the TPU-native
+    analogue of the reference's ILU sweep (hdg_imex.py:224-228), and a much
+    stronger preconditioner than the additive facet-pair variant (which
+    averages conflicting patch corrections with weight 1/3).
+    """
+    return _from_bl(_colored_apply_bl(geom, op, _to_bl(r)), r.shape[1])
 
 
 def block_apply_cells(blocks_inv, r):

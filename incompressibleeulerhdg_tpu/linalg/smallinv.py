@@ -9,6 +9,7 @@ each sweep squares the residual, so ~3 sweeps take the f32 inverse (~1e-7
 error) to f64 roundoff.
 """
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["batched_inv", "gauss_jordan_inv_bl"]
@@ -22,7 +23,13 @@ def gauss_jordan_inv_bl(A):
     on TPU where the LAPACK-style batched LU is orders of magnitude slower.
     No pivoting: intended for the diagonally-dominant preconditioner blocks
     (mass + penalty), whose factors only need preconditioner accuracy.
+
+    The input is materialised through an optimization barrier: every pivot
+    step reads all of A, and without the barrier XLA fuses (= recomputes)
+    A's producer chain into each of the n steps — measured 6x slowdown of
+    the whole operator build.
     """
+    A = jax.lax.optimization_barrier(A)
     n = A.shape[0]
     for k in range(n):
         pivot = A[k, k, :]

@@ -24,6 +24,7 @@ from .preconditioners import (
     build_tentative_operator,
     tentative_operator_matvec,
     tentative_patch_apply,
+    tentative_colored_apply,
 )
 
 __all__ = ["tentative_matvec", "tentative_solve"]
@@ -49,6 +50,7 @@ def tentative_solve(
     colors=None,
     n_colors=0,
     op=None,
+    colored=True,
 ):
     """Solve (M - c f_impl) u = rhs.  Returns (u (nc, d1, 2), iters).
 
@@ -72,8 +74,12 @@ def tentative_solve(
             ).ravel()
 
     if op is not None:
-        def M(v):
-            return tentative_patch_apply(geom, op, v.reshape(shape)).ravel()
+        if colored and geom.fcol_pos is not None:
+            def M(v):
+                return tentative_colored_apply(geom, op, v.reshape(shape)).ravel()
+        else:
+            def M(v):
+                return tentative_patch_apply(geom, op, v.reshape(shape)).ravel()
     elif colors is None:
         def M(v):
             return block_apply_cells(blocks_inv, v.reshape(shape)).ravel()
