@@ -85,14 +85,14 @@ def main():
 
     # warm-up: compile + one step
     t0 = time.time()
-    out = step(*op_args, sQ, sp, sl, jnp.asarray(0.0, dtype=dtype), dummy_q)
+    out = step(*op_args, sQ, sp, sl, jnp.asarray(0.0, dtype=dtype), dummy_q, None)
     jax.block_until_ready(out)
     print(f"# warmup (compile + 1 step): {time.time()-t0:.1f}s", file=sys.stderr)
     sQ, sp, sl = out[0], out[1], out[2]
 
     t0 = time.time()
     for k in range(n_steps):
-        out = step(*op_args, sQ, sp, sl, jnp.asarray((k + 1) * dt, dtype=dtype), dummy_q)
+        out = step(*op_args, sQ, sp, sl, jnp.asarray((k + 1) * dt, dtype=dtype), dummy_q, None)
         sQ, sp, sl = out[0], out[1], out[2]
     jax.block_until_ready(sQ[0])
     per_step = (time.time() - t0) / n_steps

@@ -35,7 +35,7 @@ __all__ = ["CGSpace", "build_cg_space", "cg_mass_solve", "cg_project_dg"]
 class CGSpace:
     """Device tables for a scalar CG(degree) space on the mesh."""
 
-    dofmap: jnp.ndarray  # (nc, nloc) int32 global dof ids
+    dofmap: jnp.ndarray  # (nloc, nc) int32 global dof ids (batch-last)
     phi_at_q1: jnp.ndarray  # (nq, nloc) CG basis at the V1 cell quadrature
     mass_diag: jnp.ndarray  # (n_dofs,) assembled (lumped row-sum) diagonal
     node_coords: jnp.ndarray  # (n_dofs, 2)
@@ -125,7 +125,7 @@ def build_cg_space(disc, degree):
 
     f = lambda a: jnp.asarray(a, dtype=disc.dtype)
     return CGSpace(
-        dofmap=jnp.asarray(dofmap.astype(np.int32)),
+        dofmap=jnp.asarray(dofmap.T.astype(np.int32)),
         phi_at_q1=f(phi),
         mass_diag=f(mass_diag),
         node_coords=f(node_coords),
@@ -135,29 +135,28 @@ def build_cg_space(disc, degree):
 
 
 def cg_gather(space, v):
-    """Global CG vector(s) (n_dofs, ...) -> cell-local (nc, nloc, ...)."""
-    return v[space.dofmap]
+    """Global CG vector(s) (..., n_dofs) -> cell-local (..., nloc, nc)."""
+    return v[..., space.dofmap]
 
 
-def cg_scatter(space, local, n_extra_shape=()):
-    """Adjoint gather: accumulate (nc, nloc, ...) into (n_dofs, ...)."""
-    out = jnp.zeros((space.n_dofs,) + local.shape[2:], dtype=local.dtype)
-    return out.at[space.dofmap].add(local)
+def cg_scatter(space, local):
+    """Adjoint gather: accumulate (..., nloc, nc) into (..., n_dofs)."""
+    out = jnp.zeros(local.shape[:-2] + (space.n_dofs,), dtype=local.dtype)
+    return out.at[..., space.dofmap].add(local)
 
 
 def cg_mass_matvec(geom, space, v):
-    """Consistent CG mass matrix action on (n_dofs, ...) vectors."""
-    loc = cg_gather(space, v)  # (nc, nloc, ...)
+    """Consistent CG mass matrix action on (..., n_dofs) vectors."""
+    loc = cg_gather(space, v)  # (..., nloc, nc)
     Mloc = jnp.einsum("q,qi,qj->ij", geom.wq, space.phi_at_q1, space.phi_at_q1)
-    out = jnp.einsum("ij,cj...->ci...", Mloc, loc)
-    dj = geom.det_jac.reshape((-1,) + (1,) * (out.ndim - 1))
-    return cg_scatter(space, dj * out)
+    out = geom.det_jac * jnp.einsum("ij,...jc->...ic", Mloc, loc)
+    return cg_scatter(space, out)
 
 
 def cg_mass_solve(geom, space, b, rtol=1e-12, maxiter=200):
     """Solve the CG mass system M x = b with Jacobi-preconditioned CG.
 
-    Works on (n_dofs,) or (n_dofs, k) right-hand sides (columns solved
+    Works on (n_dofs,) or (k, n_dofs) right-hand sides (components solved
     together with a shared iteration).  Returns (x, iters).
     """
     from ..linalg.krylov import cg as cg_solve
@@ -168,8 +167,6 @@ def cg_mass_solve(geom, space, b, rtol=1e-12, maxiter=200):
         return cg_mass_matvec(geom, space, v.reshape(shape)).ravel()
 
     dinv = 1.0 / space.mass_diag
-    if b.ndim > 1:
-        dinv = dinv[:, None]
 
     def M(v):
         return (dinv * v.reshape(shape)).ravel()
@@ -179,17 +176,17 @@ def cg_mass_solve(geom, space, b, rtol=1e-12, maxiter=200):
 
 
 def cg_project_dg(geom, space, u, rtol=1e-12):
-    """L2-project a DG(k+1) field (nc, d1[, 2]) onto CG(degree) global dofs.
+    """L2-project a DG(k+1) field ([2,] d1, nc) onto CG(degree) global dofs.
 
     The reference's ``Function(V_CG).project(u)`` (common.py:121-122).
-    Returns (x (n_dofs[, 2]), iters).
+    Returns (x ([2,] n_dofs), iters).
     """
-    uq = jnp.einsum("qi,ci...->cq...", geom.phi1, u)
-    loc = jnp.einsum("c,q,qi,cq...->ci...", geom.det_jac, geom.wq, space.phi_at_q1, uq)
+    uq = jnp.einsum("qi,...ic->...qc", geom.phi1, u)
+    loc = jnp.einsum("c,q,qi,...qc->...ic", geom.det_jac, geom.wq, space.phi_at_q1, uq)
     b = cg_scatter(space, loc)
     return cg_mass_solve(geom, space, b, rtol=rtol)
 
 
 def cg_eval_at_q(geom, space, x):
-    """Evaluate a CG field at the cell quadrature points: (nc, nq, ...)."""
-    return jnp.einsum("qi,ci...->cq...", space.phi_at_q1, cg_gather(space, x))
+    """Evaluate a CG field at the cell quadrature points: (..., nq, nc)."""
+    return jnp.einsum("qi,...ic->...qc", space.phi_at_q1, cg_gather(space, x))

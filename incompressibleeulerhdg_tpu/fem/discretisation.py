@@ -4,11 +4,20 @@ Bundles everything the batched weak-form kernels in ``ops/`` and the solvers in
 ``linalg/`` need at runtime into a single JAX pytree (``Geom``) so that every
 hot function is ``jit(f)(geom, state...)`` with purely static shapes.
 
-Field layouts (runtime arrays):
-    velocity   Q      (n_cells, d1, 2)   nodal DG(k+1) vector coefficients
-    pressure   p      (n_cells, d0)      nodal DG(k)
-    trace      lam    (n_facets, nt)     nodal DGT(k), single-valued per facet
-    tracer     q      (n_cells, d0)      nodal DG(k)
+Field layouts (runtime arrays) are BATCH-LAST: the TPU tiles the minormost
+two dims of every array to (8 sublanes, 128 lanes), so batch-major fields
+like (n_cells, d1, 2) tile-pad ~50-100x in HBM; with the huge entity axis in
+the lanes storage is near-exact and every kernel is a lane-parallel
+contraction:
+
+    velocity   Q      (2, d1, n_cells)   nodal DG(k+1), component-major
+    pressure   p      (d0, n_cells)      nodal DG(k)
+    trace      lam    (nt, n_facets)     nodal DGT(k), single-valued per facet
+    tracer     q      (d0, n_cells)      nodal DG(k)
+
+Per-entity geometry and index tables follow the same rule: (3, n_cells)
+cell->facet maps, (2, n_facets) facet->cell maps, (2, 2, n_cells) inverse
+Jacobians, (2, nq, n_cells) quadrature coordinates.
 
 The geometry-class machinery (``cell_class``) deduplicates per-cell dense
 operator blocks: cells with identical (Jacobian, facet orientation, boundary
@@ -53,6 +62,7 @@ __all__ = ["Geom", "HDGDiscretisation"]
         "cell_facets",
         "cfside",
         "cfsign",
+        "cfassemble",
         "cf_tab",
         "cf_bnd",
         "xq",
@@ -89,26 +99,27 @@ class Geom:
 
     # per-cell geometry
     det_jac: jnp.ndarray  # (nc,)
-    jac_inv: jnp.ndarray  # (nc, 2, 2)
+    jac_inv: jnp.ndarray  # (2, 2, nc): d/dx_a phi = gphi[..., b] jac_inv[b, a]
 
     # per-facet data (interior facets first)
-    normal: jnp.ndarray  # (nf, 2) outward from plus cell
+    normal: jnp.ndarray  # (2, nf) outward from plus cell
     flen: jnp.ndarray  # (nf,)
     hF_inv: jnp.ndarray  # (nf,) = 1/flen  (reference common.py:36-57)
-    fcells: jnp.ndarray  # (nf, 2) int32; [:, 1] == clamp for boundary
-    ftab: jnp.ndarray  # (nf, 2) int32 trace-tab index 2*local+flip per side
+    fcells: jnp.ndarray  # (2, nf) int32; [1] == clamp for boundary
+    ftab: jnp.ndarray  # (2, nf) int32 trace-tab index 2*local+flip per side
 
     # cell -> facet maps
-    cell_facets: jnp.ndarray  # (nc, 3) int32
-    cfside: jnp.ndarray  # (nc, 3) int32 0 plus / 1 minus
-    cfsign: jnp.ndarray  # (nc, 3) +1 if facet normal is outward for this cell
-    cf_tab: jnp.ndarray  # (nc, 3) int32 trace-tab index for this cell's side
-    cf_bnd: jnp.ndarray  # (nc, 3) bool: facet is on the boundary
+    cell_facets: jnp.ndarray  # (3, nc) int32
+    cfside: jnp.ndarray  # (3, nc) int32 0 plus / 1 minus
+    cfsign: jnp.ndarray  # (3, nc) +1 if facet normal is outward for this cell
+    cfassemble: jnp.ndarray  # (3, nc) int32 = cell_facets + cfside * nf
+    cf_tab: jnp.ndarray  # (3, nc) int32 trace-tab index for this cell's side
+    cf_bnd: jnp.ndarray  # (3, nc) bool: facet is on the boundary
 
     # physical coordinates
-    xq: jnp.ndarray  # (nc, nq, 2) cell quadrature points
-    xnodes1: jnp.ndarray  # (nc, d1, 2) DG(k+1) nodes
-    xnodes0: jnp.ndarray  # (nc, d0, 2) DG(k) nodes
+    xq: jnp.ndarray  # (2, nq, nc) cell quadrature points
+    xnodes1: jnp.ndarray  # (2, d1, nc) DG(k+1) nodes
+    xnodes0: jnp.ndarray  # (2, d0, nc) DG(k) nodes
 
     # reference mass matrices and inverses (affine cells: M_cell = det_jac * M_ref)
     m1: jnp.ndarray  # (d1, d1)
@@ -137,7 +148,7 @@ class Geom:
 
     @property
     def n_facets(self):
-        return self.normal.shape[0]
+        return self.normal.shape[1]
 
     @property
     def d1(self):
@@ -209,6 +220,8 @@ class HDGDiscretisation:
                 fcol_mask[k, cks] = 1.0
         fcol_orphans = bool(np.any(fcol_mask.sum(axis=0) == 0.0))
 
+        cfassemble = m.cell_facets + m.cell_facet_side * m.n_facets
+
         self.geom = Geom(
             wq=f(self.V1.qw),
             phi1=f(self.V1.phi),
@@ -223,20 +236,21 @@ class HDGDiscretisation:
             tphi1=f(self.V1.tphi),
             tphi0=f(self.V0.tphi),
             det_jac=f(m.det_jac),
-            jac_inv=f(m.jac_inv),
-            normal=f(m.normals),
+            jac_inv=f(m.jac_inv.transpose(1, 2, 0)),
+            normal=f(m.normals.T),
             flen=f(m.facet_lengths),
             hF_inv=f(1.0 / m.facet_lengths),
-            fcells=i32(fcells),
-            ftab=i32(ftab),
-            cell_facets=i32(m.cell_facets),
-            cfside=i32(m.cell_facet_side),
-            cfsign=f(cfsign),
-            cf_tab=i32(cf_tab),
-            cf_bnd=jnp.asarray(cf_bnd),
-            xq=f(xq),
-            xnodes1=f(xnodes1),
-            xnodes0=f(xnodes0),
+            fcells=i32(fcells.T),
+            ftab=i32(ftab.T),
+            cell_facets=i32(m.cell_facets.T),
+            cfside=i32(m.cell_facet_side.T),
+            cfsign=f(cfsign.T),
+            cfassemble=i32(cfassemble.T),
+            cf_tab=i32(cf_tab.T),
+            cf_bnd=jnp.asarray(cf_bnd.T),
+            xq=f(xq.transpose(2, 1, 0)),
+            xnodes1=f(xnodes1.transpose(2, 1, 0)),
+            xnodes0=f(xnodes0.transpose(2, 1, 0)),
             m1=f(self.V1.mass_ref),
             m0=f(self.V0.mass_ref),
             m1inv=f(self.V1.mass_ref_inv),
@@ -258,17 +272,17 @@ class HDGDiscretisation:
     # ------------------------------------------------------------------
 
     def interpolate_velocity(self, fn):
-        """Nodal interpolation of ``fn(x, y) -> (2,)`` into V_Q: (nc, d1, 2)."""
+        """Nodal interpolation of ``fn(x, y) -> (2,)`` into V_Q: (2, d1, nc)."""
         x = self.geom.xnodes1
         return jnp.stack(
-            jnp.broadcast_arrays(*_as_pair(fn(x[..., 0], x[..., 1]))), axis=-1
+            jnp.broadcast_arrays(*_as_pair(fn(x[0], x[1]))), axis=0
         ).astype(self.dtype)
 
     def interpolate_pressure(self, fn):
-        """Nodal interpolation of scalar ``fn(x, y)`` into V_p: (nc, d0)."""
+        """Nodal interpolation of scalar ``fn(x, y)`` into V_p: (d0, nc)."""
         x = self.geom.xnodes0
         return jnp.broadcast_to(
-            jnp.asarray(fn(x[..., 0], x[..., 1])), x.shape[:-1]
+            jnp.asarray(fn(x[0], x[1])), x.shape[1:]
         ).astype(self.dtype)
 
 

@@ -49,12 +49,12 @@ class CondensedSystem:
     # (TPU tiles the two minormost dims to (8,128): batch-major (nc, 9, 9)
     # blocks would pad ~25x in HBM; batch-last storage is exact and the
     # matvec becomes a lane-parallel multiply-reduce)
-    Ainv: jnp.ndarray  # (ncls, nloc, nloc)
+    Ainv: jnp.ndarray  # (ncls, nloc, nloc); u-dofs component-major (a*d1+i)
     AinvB: jnp.ndarray  # (ncls, nloc, 3nt)
     CAinv: jnp.ndarray  # (ncls, 3nt, nloc)
     class_id: jnp.ndarray  # (nc,)
     Sdiag_inv: jnp.ndarray  # (nt, nt, nf) inverse facet-diagonal blocks, batch-last
-    nullvec: jnp.ndarray  # (nf, nt) normalised constant-trace nullspace of S
+    nullvec: jnp.ndarray  # (nt, nf) normalised constant-trace nullspace of S
     tau: float = 1.0
     nt: int = 1
 
@@ -133,6 +133,16 @@ def build_condensed_system(disc, tau=1.0):
     S_cls = D - C @ AinvB  # (ncls, 3nt, 3nt)
     S = S_cls[class_id]  # materialised per cell (hot path)
 
+    # permute the u-dof block of the local index to the component-major
+    # (a*d1+i) convention of the batch-last field layout
+    from ..ops.projection import _amajor_perm
+
+    d1 = disc.V1.ndof
+    perm = np.concatenate([_amajor_perm(d1), 2 * d1 + np.arange(disc.V0.ndof)])
+    Ainv = Ainv[:, perm][:, :, perm]
+    AinvB = AinvB[:, perm, :]
+    CAinv = CAinv[:, :, perm]
+
     # facet-block diagonal of the assembled trace operator
     nf = mesh.n_facets
     Sdiag = np.zeros((nf, nt, nt))
@@ -142,7 +152,7 @@ def build_condensed_system(disc, tau=1.0):
         np.add.at(Sdiag, f, S[:, sl, sl])
     Sdiag_inv = np.linalg.inv(Sdiag)
 
-    nullvec = np.ones((nf, nt))
+    nullvec = np.ones((nt, nf))
     nullvec /= np.linalg.norm(nullvec)
 
     f = lambda a: jnp.asarray(a, dtype=disc.dtype)
@@ -160,78 +170,76 @@ def build_condensed_system(disc, tau=1.0):
 
 
 def _facets_from_cells(geom, y_c):
-    """Gather-based facet assembly of per-cell (nc, 3, nt) contributions.
+    """Gather-based facet assembly of per-cell (3nt, nc) contributions.
 
-    Equivalent to scatter-add over cell_facets, but expressed as two gathers
-    (each facet has at most two cells) — scatters serialize on TPU.
+    Equivalent to scatter-add over cell_facets, but expressed as masked lane
+    gathers per local-facet index (each facet has at most two cells) —
+    scatters serialize on TPU.  Returns (nt, nf).
     """
-    fl = geom.ftab // 2  # local facet index per side
-    y0 = y_c[geom.fcells[:, 0], fl[:, 0]]
-    msk = (jnp.arange(geom.n_facets) < geom.n_int).astype(y_c.dtype)[:, None]
-    y1 = y_c[geom.fcells[:, 1], fl[:, 1]] * msk
-    return y0 + y1
+    nt = y_c.shape[0] // 3
+    fl = geom.ftab // 2  # (2, nf) local facet index per side
+    msk = (jnp.arange(geom.n_facets) < geom.n_int).astype(y_c.dtype)[None, :]
+    out = 0.0
+    for l in range(3):
+        sel0 = (fl[0] == l).astype(y_c.dtype)[None, :]
+        sel1 = (fl[1] == l).astype(y_c.dtype)[None, :] * msk
+        blk = y_c[l * nt : (l + 1) * nt]
+        out = out + sel0 * blk[:, geom.fcells[0]] + sel1 * blk[:, geom.fcells[1]]
+    return out
+
+
+def _cells_from_facets(geom, lam):
+    """Gather per-cell trace dofs: (nt, nf) -> (3nt, nc) (local facet major)."""
+    return jnp.concatenate(
+        [lam[:, geom.cell_facets[l]] for l in range(3)], axis=0
+    )
 
 
 def trace_matvec(geom, cs, lam):
-    """Condensed trace operator: (nf, nt) -> (nf, nt), batch-last blocks.
-
-    All gathers use flat 1-D index arithmetic: 3-D intermediates like
-    (nc, 3, nt) tile-pad ~14x in HBM and mixed advanced indexing lowers to
-    strided gathers.
-    """
-    nt = cs.nt
-    nc = geom.n_cells
-    # row-slice gathers (TPU gathers are efficient per contiguous slice)
-    lam_c = lam[geom.cell_facets].reshape(nc, -1).T  # (3nt, nc)
-    y_c = jnp.sum(cs.S * lam_c[None, :, :], axis=1)  # (3nt, nc)
-    y3 = y_c.T.reshape(nc, 3, nt)
-    fl = geom.ftab // 2
-    y0 = y3[geom.fcells[:, 0], fl[:, 0]]  # (nf, nt)
-    msk = (jnp.arange(geom.n_facets) < geom.n_int).astype(lam.dtype)[:, None]
-    y1 = y3[geom.fcells[:, 1], fl[:, 1]] * msk
-    return y0 + y1
+    """Condensed trace operator: (nt, nf) -> (nt, nf), batch-last blocks."""
+    lam_c = _cells_from_facets(geom, lam)  # (3nt, nc)
+    y_c = jnp.einsum("ijc,jc->ic", cs.S, lam_c)
+    return _facets_from_cells(geom, y_c)
 
 
 def _flatten_local(f_u, f_p):
-    nc = f_u.shape[0]
-    return jnp.concatenate([f_u.reshape(nc, -1), f_p], axis=1)
+    """(2, d1, nc) u-rows + (d0, nc) p-rows -> (nloc, nc)."""
+    nc = f_u.shape[-1]
+    return jnp.concatenate([f_u.reshape(-1, nc), f_p], axis=0)
 
 
 def _apply_class_blocks(tables, class_id, x):
-    """y_c = tables[class_id[c]] @ x_c without materialising per-cell blocks.
+    """y[:, c] = tables[class_id[c]] @ x[:, c] without per-cell blocks.
 
-    Gathering (ncls, m, n) class tables to (nc, m, n) tile-pads ~25x in HBM
-    (2 GB at 256^2 k=2); instead run one (nc, n) x (n, m) GEMM per class and
-    select by class id — ncls is O(10) on generated meshes.  Falls back to
-    the gather path when the class count is large (unstructured meshes).
+    One (m, n) x (n, nc) GEMM per geometry class, selected by class id —
+    ncls is O(10) on generated meshes.  Falls back to a gather path for
+    large class counts (unstructured meshes).
     """
     ncls = tables.shape[0]
     if ncls > 16:
-        return jnp.einsum("cij,cj->ci", tables[class_id], x)
-    out = jnp.zeros((x.shape[0], tables.shape[1]), dtype=x.dtype)
+        return jnp.einsum("cij,jc->ic", tables[class_id], x)
+    out = jnp.zeros((tables.shape[1], x.shape[1]), dtype=x.dtype)
     for k in range(ncls):
-        yk = x @ tables[k].T
-        out = jnp.where((class_id == k)[:, None], yk, out)
+        yk = tables[k] @ x
+        out = jnp.where((class_id == k)[None, :], yk, out)
     return out
 
 
 def condense_rhs(geom, cs, f_u, f_p, f_lam):
-    """Condensed right-hand side g = f_lam - C A^{-1} f_loc."""
+    """Condensed right-hand side g = f_lam - C A^{-1} f_loc: (nt, nf)."""
     f_loc = _flatten_local(f_u, f_p)
-    contrib = _apply_class_blocks(cs.CAinv, cs.class_id, f_loc)
-    return f_lam - _facets_from_cells(
-        geom, contrib.reshape(geom.n_cells, 3, cs.nt)
-    )
+    contrib = _apply_class_blocks(cs.CAinv, cs.class_id, f_loc)  # (3nt, nc)
+    return f_lam - _facets_from_cells(geom, contrib)
 
 
 def back_substitute(geom, cs, f_u, f_p, lam):
     """Recover (u, p) from the trace solution: x = A^{-1}(f_loc - B lam)."""
     f_loc = _flatten_local(f_u, f_p)
-    lam_c = lam[geom.cell_facets].reshape(geom.n_cells, -1)
+    lam_c = _cells_from_facets(geom, lam)
     x = _apply_class_blocks(cs.Ainv, cs.class_id, f_loc) - _apply_class_blocks(
         cs.AinvB, cs.class_id, lam_c
     )
     d1 = geom.d1
-    u = x[:, : 2 * d1].reshape(geom.n_cells, d1, 2)
-    p = x[:, 2 * d1 :]
+    u = x[: 2 * d1].reshape(2, d1, -1)
+    p = x[2 * d1 :]
     return u, p

@@ -63,11 +63,11 @@ __all__ = ["TwoLevelTracePC", "build_gtmg", "gtmg_apply"]
 )
 @dataclass
 class TwoLevelTracePC:
-    Sdiag_inv: jnp.ndarray  # (nf, nt, nt)
-    facet_verts: jnp.ndarray  # (nf, 2) endpoint vertex ids, lo -> hi
+    Sdiag_inv: jnp.ndarray  # (nt, nt, nf) batch-last
+    facet_verts: jnp.ndarray  # (2, nf) endpoint vertex ids, lo -> hi
     trace_nodes: jnp.ndarray  # (nt,) nodal positions on [0, 1]
-    K_elem: jnp.ndarray  # (nc, 3, 3) P1 stiffness element matrices
-    cells: jnp.ndarray  # (nc, 3)
+    K_elem: jnp.ndarray  # (3, 3, nc) P1 stiffness element matrices, batch-last
+    cells: jnp.ndarray  # (3, nc)
     K_diag_inv: jnp.ndarray  # (nv,)
     sign: jnp.ndarray  # scalar: sign making sign*S positive semidefinite
     # padded vertex adjacency (gather-based assembly; scatters serialize on TPU)
@@ -166,8 +166,8 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
         w = w / np.linalg.norm(w)
     lmax_coarse = float(np.vdot(w, Kdi_np * coarse_mv_np(w)))
 
-    cells_j = jnp.asarray(mesh.cells.astype(np.int32))
-    K_elem_j = jnp.asarray(K_elem, dtype=disc.dtype)
+    cells_j = jnp.asarray(mesh.cells.T.astype(np.int32))
+    K_elem_j = jnp.asarray(K_elem.transpose(1, 2, 0), dtype=disc.dtype)
     Kdi = jnp.asarray(Kdi_np, dtype=disc.dtype)
 
     def padded_adjacency(pairs_v, payload_cols):
@@ -252,7 +252,7 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
 
     return TwoLevelTracePC(
         Sdiag_inv=cs.Sdiag_inv,
-        facet_verts=jnp.asarray(facet_verts),
+        facet_verts=jnp.asarray(facet_verts.T),
         trace_nodes=jnp.asarray(trace_nodes, dtype=disc.dtype),
         K_elem=K_elem_j,
         cells=cells_j,
@@ -329,8 +329,10 @@ def _coarse_solve(pc, rc):
         return jnp.fft.ifft2(c).real.reshape(-1).astype(rc.dtype)
 
     def Ac(v):
-        loc = jnp.einsum("cab,cb->ca", pc.K_elem, v[pc.cells])  # (nc, 3)
-        g = loc[pc.vc, pc.vc_pos]  # (nv, Dc) gather instead of scatter
+        vg = v[pc.cells]  # (3, nc)
+        loc = jnp.einsum("abc,bc->ac", pc.K_elem, vg)  # (3, nc)
+        # vertex assembly via flat-index gather over the padded adjacency
+        g = loc.ravel()[pc.vc_pos * loc.shape[1] + pc.vc]  # (nv, Dc)
         return jnp.sum(g * pc.vc_mask, axis=1)
 
     def Dc(v):
@@ -340,18 +342,21 @@ def _coarse_solve(pc, rc):
 
 
 def prolong(pc, zc):
-    """P1 vertex values -> trace dofs: linear interpolation along each facet."""
-    lo = zc[pc.facet_verts[:, 0]]
-    hi = zc[pc.facet_verts[:, 1]]
-    s = pc.trace_nodes[None, :]
-    return lo[:, None] * (1.0 - s) + hi[:, None] * s
+    """P1 vertex values -> trace dofs: linear interpolation along each facet.
+
+    (nv,) -> (nt, nf)
+    """
+    lo = zc[pc.facet_verts[0]]  # (nf,)
+    hi = zc[pc.facet_verts[1]]
+    s = pc.trace_nodes[:, None]
+    return lo[None, :] * (1.0 - s) + hi[None, :] * s
 
 
 def restrict(pc, lam):
-    """Adjoint of prolong: (nf, nt) -> (nv,) via the padded vertex-facet table."""
-    s = pc.trace_nodes[None, :]
-    a_lo = jnp.sum(lam * (1.0 - s), axis=1)  # (nf,)
-    a_hi = jnp.sum(lam * s, axis=1)
+    """Adjoint of prolong: (nt, nf) -> (nv,) via the padded vertex-facet table."""
+    s = pc.trace_nodes[:, None]
+    a_lo = jnp.sum(lam * (1.0 - s), axis=0)  # (nf,)
+    a_hi = jnp.sum(lam * s, axis=0)
     g_lo = a_lo[pc.vf]  # (nv, Dv)
     g_hi = a_hi[pc.vf]
     vals = jnp.where(pc.vf_end == 0, g_lo, g_hi)
@@ -359,16 +364,18 @@ def restrict(pc, lam):
 
 
 def gtmg_apply(geom, cs, pc, r_flat):
-    """Multiplicative two-level V-cycle approximating S^{-1} r (flat vectors)."""
+    """Multiplicative two-level V-cycle approximating S^{-1} r.
+
+    Flat vectors are the (nt, nf) batch-last trace layout ravelled.
+    """
     nt = cs.nt
-    r = (pc.sign * r_flat).reshape(-1, nt)  # work with A = sign * S (positive)
+    r = (pc.sign * r_flat).reshape(nt, -1)  # work with A = sign * S (positive)
 
     def A(v):
         return pc.sign * trace_matvec(geom, cs, v)
 
     def Dinv(v):
-        out = jnp.sum(cs.Sdiag_inv * v.T[None, :, :], axis=1)
-        return pc.sign * out.T
+        return pc.sign * jnp.einsum("ijf,jf->if", cs.Sdiag_inv, v)
 
     # pre-smooth
     z = _chebyshev(A, Dinv, r, pc.cheb_fine, pc.lmax_fine)

@@ -75,9 +75,9 @@ def monolithic_stage_solve(
         return jnp.concatenate([u.ravel(), p.ravel(), lam.ravel()])
 
     def unflat(v):
-        u = v[:nu].reshape(nc, d1, 2)
-        p = v[nu : nu + np_].reshape(nc, d0)
-        lam = v[nu + np_ :].reshape(nf, nt)
+        u = v[:nu].reshape(2, d1, nc)
+        p = v[nu : nu + np_].reshape(d0, nc)
+        lam = v[nu + np_ :].reshape(nt, nf)
         return u, p, lam
 
     t_op = build_tentative_operator(geom, star, c, alpha, upwind)
@@ -94,12 +94,12 @@ def monolithic_stage_solve(
 
     def M(v):
         r_u, r_p, r_lam = unflat(v)
-        dQt, _ = tentative_solve(
+        dQt, _, _ = tentative_solve(
             geom, star, r_u, c, alpha=alpha, upwind=upwind,
             rtol=inner_rtol, maxiter=60, op=t_op,
         )
         f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt) + r_p
-        du, dp, dlam, _ = pressure_solve(
+        du, dp, dlam, _, _ = pressure_solve(
             geom, cs, jnp.zeros_like(r_u), f_p, r_lam,
             rtol=inner_rtol, maxiter=60, precond=precond,
         )
@@ -107,16 +107,16 @@ def monolithic_stage_solve(
 
     # deflate the (0, 1_p, 1_lam) nullspace
     nullv = flat(
-        jnp.zeros((nc, d1, 2), dtype),
-        jnp.ones((nc, d0), dtype),
-        jnp.ones((nf, nt), dtype),
+        jnp.zeros((2, d1, nc), dtype),
+        jnp.ones((d0, nc), dtype),
+        jnp.ones((nt, nf), dtype),
     )
     nullv = nullv / jnp.linalg.norm(nullv)
 
     def project(v):
         return v - nullv * jnp.dot(nullv, v)
 
-    b = flat(b_u, jnp.zeros((nc, d0), dtype), jnp.zeros((nf, nt), dtype))
+    b = flat(b_u, jnp.zeros((d0, nc), dtype), jnp.zeros((nt, nf), dtype))
     x0flat = None if x0 is None else flat(*x0)
     x, iters, _ = fgmres(
         matvec, b, M=M, x0=x0flat, rtol=rtol, restart=restart, maxiter=maxiter,

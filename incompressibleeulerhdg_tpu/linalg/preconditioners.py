@@ -2,12 +2,16 @@
 
 - TentativeOperator: the per-stage tentative velocity operator M - c f_impl
   assembled into batch-last dense blocks (own-cell D + facet cross blocks),
-  applied as a block SpMV and preconditioned by overlapping facet-pair
-  additive Schwarz in block-Schur form — the TPU-native replacement for the
-  GMRES+ILU tentative solver of the reference (hdg_imex.py:224-228)
+  applied as a block SpMV and preconditioned by multiplicative colored
+  facet-pair Schwarz sweeps — the TPU-native replacement for the GMRES+ILU
+  tentative solver of the reference (hdg_imex.py:224-228)
 - facet-block Jacobi for the condensed trace system (the default when the
   GTMG two-level scheme of linalg/gtmg.py is not supplied)
-- cell-block Jacobi fallback for the tentative operator
+
+All fields are batch-last with component-major local dofs (dof = a * d1 + i,
+so a (2, d1, nc) field reshapes to (nu, nc) for free); all block tables are
+(nu, nu, n) batch-last — batch-major (n, 20, 20) tables tile-pad 6-25x in
+HBM on TPU.
 """
 
 from dataclasses import dataclass
@@ -17,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fields import interior_mask
-from .smallinv import batched_inv, gauss_jordan_inv_bl
+from .smallinv import gauss_jordan_inv_bl
 
 _register_tentative_op = partial(
     jax.tree_util.register_dataclass,
@@ -29,13 +33,9 @@ _register_tentative_op = partial(
 def _register_tentative_op_wrap(cls):
     return _register_tentative_op(dataclass(cls))
 
-# facet-factor builds chunk above this facet count (bounds padded transients)
-FACET_CHUNK_THRESHOLD = 65536
 
 __all__ = [
     "trace_block_jacobi",
-    "tentative_block_jacobi_build",
-    "block_apply_cells",
     "TentativeOperator",
     "build_tentative_operator",
     "tentative_operator_matvec",
@@ -46,146 +46,23 @@ __all__ = [
 
 def trace_block_jacobi(cs):
     """Return a flat-vector preconditioner applying per-facet inverse diagonal
-    blocks (batch-last storage)."""
+    blocks (batch-last storage, (nt, nf) trace layout)."""
     nt = cs.nt
 
     def M(v):
-        lam = v.reshape(-1, nt).T  # (nt, nf)
-        out = jnp.sum(cs.Sdiag_inv * lam[None, :, :], axis=1)
-        return out.T.ravel()
+        lam = v.reshape(nt, -1)
+        return jnp.einsum("ijf,jf->if", cs.Sdiag_inv, lam).ravel()
 
     return M
-
-
-def f_impl_own_blocks(geom, star, alpha=1.0, upwind=True, csl=slice(None)):
-    """Own-cell (block-diagonal) part of ``f_impl(w, u, Q*)``.
-
-    Returns (ncsl, d1, 2, d1, 2).  Derivation of the own-side facet
-    coefficients (s = this cell's side, sgn = +1 plus / -1 minus):
-        advective: +0.5 * sgn * (Q*+.n)      * delta_ab
-        penalty:   -(alpha/h) n_a n_b        (both sides, and boundary)
-        upwind:    -|Q*+.n|  * delta_ab      (interior only)
-
-    :arg csl: static cell slice (per-stage builds are chunked to bound the
-        batch-major padded transients)
-    """
-    star_coeff, star_n = star
-    star_coeff = star_coeff[csl]
-    star_q = jnp.einsum("qi,cia->cqa", geom.phi1, star_coeff)
-    d1 = geom.d1
-    ncs = star_q.shape[0]
-    det = geom.det_jac[csl]
-    jinv = geom.jac_inv[csl]
-    # volume: -int phi_i (Q*.grad phi_j) dx
-    gphys = jnp.einsum("qjb,cba->cqja", geom.gphi1, jinv)
-    conv = jnp.einsum("cqd,cqjd->cqj", star_q, gphys)
-    vol = -jnp.einsum("c,q,qi,cqj->cij", det, geom.wq, geom.phi1, conv)
-
-    blocks = jnp.zeros((ncs, d1, 2, d1, 2), dtype=star_q.dtype)
-    eye2 = jnp.eye(2, dtype=star_q.dtype)
-    blocks = blocks + vol[:, :, None, :, None] * eye2[None, None, :, None, :]
-
-    int_mask = interior_mask(geom)  # (nf, 1)
-    cfsign = geom.cfsign[csl]
-    for l in range(3):
-        f = geom.cell_facets[csl, l]
-        T = geom.tphi1[geom.cf_tab[csl, l]]  # (ncs, nqf, d1)
-        n = geom.normal[f]  # (ncs, 2)
-        w = geom.flen[f][:, None] * geom.wqf[None, :]  # (ncs, nqf)
-        sn = star_n[f]  # (ncs, nqf)
-        msk = int_mask[f]  # (ncs, 1)
-        hinv = geom.hF_inv[f]
-
-        # scalar (delta_ab) coefficient at quadrature points
-        scal = (0.5 * cfsign[:, l : l + 1] * sn - (jnp.abs(sn) if upwind else 0.0)) * msk
-        sblk = jnp.einsum("cq,cqi,cqj->cij", w * scal, T, T)
-        blocks = blocks + sblk[:, :, None, :, None] * eye2[None, None, :, None, :]
-
-        # penalty: -(alpha/h) n (x) n on interior and boundary alike
-        pblk = jnp.einsum("cq,cqi,cqj->cij", w, T, T) * (-alpha * hinv)[:, None, None]
-        nn = jnp.einsum("ca,cb->cab", n, n)
-        blocks = blocks + pblk[:, :, None, :, None] * nn[:, None, :, None, :]
-    return blocks
-
-
-def tentative_block_jacobi_build(geom, star, c, alpha=1.0, upwind=True):
-    """Inverse cell-diagonal blocks of the tentative operator M - c * f_impl.
-
-    Returns (nc, 2*d1, 2*d1) inverse blocks (u dofs flattened as i*2+a).
-    """
-    d1 = geom.d1
-    fblk = f_impl_own_blocks(geom, star, alpha, upwind).reshape(
-        geom.n_cells, 2 * d1, 2 * d1
-    )
-    eye2 = jnp.eye(2, dtype=fblk.dtype)
-    mass = (
-        geom.det_jac[:, None, None, None, None]
-        * geom.m1[None, :, None, :, None]
-        * eye2[None, None, :, None, :]
-    ).reshape(geom.n_cells, 2 * d1, 2 * d1)
-    return batched_inv(mass - c * fblk)
-
-
-def f_impl_cross_blocks(geom, star, alpha=1.0, upwind=True, fsl=slice(None)):
-    """Cross-cell facet coupling blocks of ``f_impl`` per interior facet.
-
-    Returns (K01, K10), each (nfsl, d1, 2, d1, 2): the coefficient of the
-    minus (resp. plus) side trial function in the plus (resp. minus) side
-    test rows.  From the facet integrands of f_impl (see f_impl_apply):
-        K01:  -0.5 (Q*.n) I + (alpha/h) n (x) n + |Q*.n| I
-        K10:  +0.5 (Q*.n) I + (alpha/h) n (x) n + |Q*.n| I
-    integrated against T0_i T1_j (zero on boundary facets).
-
-    :arg fsl: static facet slice (the per-stage build is chunked to bound
-        the batch-major padded transients)
-    """
-    _, star_n = star
-    star_n = star_n[fsl]
-    d1 = geom.d1
-    T0 = geom.tphi1[geom.ftab[fsl, 0]]  # (nfsl, nqf, d1)
-    T1 = geom.tphi1[geom.ftab[fsl, 1]]
-    w = geom.flen[fsl, None] * geom.wqf[None, :]
-    msk = interior_mask(geom)[fsl]
-    eye2 = jnp.eye(2, dtype=star_n.dtype)
-    normal = geom.normal[fsl]
-    nn = jnp.einsum("fa,fb->fab", normal, normal)
-
-    upw = jnp.abs(star_n) if upwind else 0.0
-    s01 = (-0.5 * star_n + upw) * msk  # scalar (delta_ab) part, test0-trial1
-    s10 = (+0.5 * star_n + upw) * msk
-    pen = (geom.hF_inv[fsl, None] * alpha) * msk  # n (x) n part, both
-
-    def build(Ta, Tb, scal):
-        base = jnp.einsum("fq,fqi,fqj->fij", w * scal, Ta, Tb)
-        out = base[:, :, None, :, None] * eye2[None, None, :, None, :]
-        pblk = jnp.einsum("fq,fqi,fqj->fij", w * pen, Ta, Tb)
-        out = out + pblk[:, :, None, :, None] * nn[:, None, :, None, :]
-        return out
-
-    K01 = build(T0, T1, s01)
-    K10 = build(T1, T0, s10)
-    return K01, K10
 
 
 @_register_tentative_op_wrap
 class TentativeOperator:
     """Assembled per-stage tentative operator M - c f_impl + its patch factors.
 
-    All tables are stored BATCH-LAST, (nu, nu, n): the TPU tiles the two
-    minormost dims to (8, 128), so batch-major (n, 20, 20) tables pad 6-25x
-    in HBM; with the huge batch dim in the lanes the storage is exact and
-    every application is a lane-parallel fused multiply-reduce.
-
-    Local dof flattening is COMPONENT-MAJOR (dof = a * d1 + i for velocity
-    component a, scalar basis index i): a (2, d1, nc) batch-last field
-    reshapes to (nu, nc) for free, and block pieces materialise as
-    (2, d1, 2, d1, n) arrays whose minormost-two dims (d1, n) tile almost
-    exactly (the (d1, 2, ..., n) ordering of an i-major flattening pads 4x).
-
     The Krylov matvec uses the SAME blocks as the Schwarz patches: assembling
     once per stage and applying dense blocks replaces re-deriving the weak
-    form from tabulations per application (which built 25x-padded per-quad
-    intermediates and dominated the step time).
+    form from tabulations per application.
     """
 
     D: jnp.ndarray  # (nu, nu, nc) own-cell blocks
@@ -222,11 +99,11 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     """Assemble blocks + facet-pair Schwarz factors per stage, batch-last.
 
     The 2x2 cell-block patch  [[D_plus, -c K01], [-c K10, D_minus]]  is
-    factorised in block-Schur form: per-cell D^{-1} (shared by the three
-    patches containing each cell) + per-facet nu x nu Schur inverse.  This
-    resolves the O(alpha/h) normal-jump penalty couplings that make block
-    Jacobi/Gauss-Seidel degrade under mesh refinement — the TPU-native
-    analogue of the reference's ILU preconditioner (hdg_imex.py:224-228).
+    factorised in block-Schur form: per-cell D^{-1} (shared by the patches
+    containing each cell) + per-facet nu x nu Schur inverse.  This resolves
+    the O(alpha/h) normal-jump penalty couplings that make block Jacobi
+    degrade under mesh refinement — the TPU-native analogue of the
+    reference's ILU preconditioner (hdg_imex.py:224-228).
 
     Assembly strategy (everything batch-last; no batch-major transients):
     every facet integrand separates into STATIC reference-table factors and
@@ -237,26 +114,22 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     coefficients, never via (n, nqf, d1) table gathers (which tile-pad ~13x
     and dominated the previous build at 1.7 s per stage).
     """
-    star_coeff, star_n = star  # (nc, d1, 2), (nf, nqf)
+    star_bl, snq = star  # (2, d1, nc), (nqf, nf)
     d1 = geom.d1
     nu = 2 * d1
     nc = geom.n_cells
     nf = geom.n_facets
     nqf = geom.wqf.shape[0]
-    dtype = star_coeff.dtype
+    dtype = star_bl.dtype
     eye2 = jnp.eye(2, dtype=dtype)
     upw = 1.0 if upwind else 0.0
 
     # ------------------------------------------------------------------
     # own-cell blocks D = mass - c * f_impl_own
     # ------------------------------------------------------------------
-    star_bl = jnp.transpose(star_coeff, (2, 1, 0))  # (2, d1, nc)
-    snq = star_n.T  # (nqf, nf)
-    jinv_bl = jnp.transpose(geom.jac_inv, (1, 2, 0))  # (2=b, 2=a, nc)
-
     # volume convection  +c * int phi_i (Q*.grad) phi_j  (= -c * vol_f_impl)
     star_q = jnp.einsum("qi,aic->aqc", geom.phi1, star_bl)  # (2, nq, nc)
-    R = jnp.einsum("bac,aqc->bqc", jinv_bl, star_q)  # (2=b, nq, nc)
+    R = jnp.einsum("bac,aqc->bqc", geom.jac_inv, star_q)  # (2=b, nq, nc)
     Gvol = jnp.einsum("q,qi,qjb->ijbq", geom.wq, geom.phi1, geom.gphi1)
     S_own = c * geom.det_jac[None, None, :] * jnp.einsum("ijbq,bqc->ijc", Gvol, R)
     # mass
@@ -270,17 +143,17 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     Ct = jnp.zeros((6, nqf, nc), dtype)
     NNt = jnp.zeros((6, 2, 2, nc), dtype)
     for l in range(3):
-        fl = geom.cell_facets[:, l]
+        fl = geom.cell_facets[l]
         sn_l = snq[:, fl]  # (nqf, nc)
-        int_l = 1.0 - geom.cf_bnd[:, l].astype(dtype)  # (nc,)
+        int_l = 1.0 - geom.cf_bnd[l].astype(dtype)  # (nc,)
         w_l = geom.wqf[:, None] * geom.flen[fl][None, :]  # (nqf, nc)
         coeff = (-c) * (
-            0.5 * geom.cfsign[:, l][None, :] * sn_l - upw * jnp.abs(sn_l)
+            0.5 * geom.cfsign[l][None, :] * sn_l - upw * jnp.abs(sn_l)
         ) * w_l * int_l[None, :]
         pen_l = c * alpha * geom.hF_inv[fl] * geom.flen[fl]  # (nc,)
-        n_l = geom.normal[fl].T  # (2, nc)
+        n_l = geom.normal[:, fl]  # (2, nc)
         nn_l = n_l[:, None, :] * n_l[None, :, :]  # (2, 2, nc)
-        onehot = (geom.cf_tab[:, l][None, :] == jnp.arange(6)[:, None]).astype(dtype)
+        onehot = (geom.cf_tab[l][None, :] == jnp.arange(6)[:, None]).astype(dtype)
         Ct = Ct + onehot[:, None, :] * coeff[None, :, :]
         NNt = NNt + onehot[:, None, None, :] * (pen_l[None, None, :] * nn_l)[None]
     S_own = S_own + jnp.einsum("tijq,tqc->ijc", Gt, Ct)
@@ -294,8 +167,8 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     # cross blocks Bx = -c K01 (plus rows, minus cols), Cx = -c K10
     # ------------------------------------------------------------------
     # per-facet trace tables selected by one-hot sums (static per mesh):
-    onehot0 = (geom.ftab[:, 0][None, :] == jnp.arange(6)[:, None]).astype(dtype)
-    onehot1 = (geom.ftab[:, 1][None, :] == jnp.arange(6)[:, None]).astype(dtype)
+    onehot0 = (geom.ftab[0][None, :] == jnp.arange(6)[:, None]).astype(dtype)
+    onehot1 = (geom.ftab[1][None, :] == jnp.arange(6)[:, None]).astype(dtype)
     U0 = jnp.einsum("tf,tqi->iqf", onehot0, geom.tphi1)  # (d1, nqf, nf)
     U1 = jnp.einsum("tf,tqi->iqf", onehot1, geom.tphi1)
     msk = interior_mask(geom, 1)  # (nf,)
@@ -303,7 +176,7 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     s01 = (-c) * (-0.5 * snq + upw * jnp.abs(snq)) * wf * msk[None, :]
     s10 = (-c) * (+0.5 * snq + upw * jnp.abs(snq)) * wf * msk[None, :]
     penf = (-c) * alpha * geom.hF_inv * msk  # (nf,)
-    nnf = geom.normal.T[:, None, :] * geom.normal.T[None, :, :]  # (2, 2, nf)
+    nnf = geom.normal[:, None, :] * geom.normal[None, :, :]  # (2, 2, nf)
 
     K01s = jnp.einsum("iqf,jqf->ijf", U0, U1 * s01[None])
     K01p = jnp.einsum("iqf,jqf->ijf", U0, U1 * wf[None]) * penf[None, None, :]
@@ -324,10 +197,8 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     # ------------------------------------------------------------------
     # patch Schur factors  S = D_minus - Cx Dinv_plus Bx
     # ------------------------------------------------------------------
-    Dinv0 = jax.lax.optimization_barrier(Dinv_bl[:, :, geom.fcells[:, 0]])
-    D1 = D_bl[:, :, geom.fcells[:, 1]]
-    # unrolled-k FMA products: einsum/dot_general on lane-batched (n, n, nf)
-    # operands triggers a batch-relayout path measured 8x slower
+    Dinv0 = jax.lax.optimization_barrier(Dinv_bl[:, :, geom.fcells[0]])
+    D1 = D_bl[:, :, geom.fcells[1]]
     Sc = D1 - _bmm(Cx, _bmm(Dinv0, Bx))
     eye = jnp.eye(nu, dtype=dtype)
     Sc = jnp.where(msk[None, None, :] > 0, Sc, eye[:, :, None])
@@ -338,22 +209,11 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     )
 
 
-def _to_bl(u):
-    """(nc, d1, 2) field -> component-major batch-last (nu, nc)."""
-    nc, d1, _ = u.shape
-    return jnp.transpose(u, (2, 1, 0)).reshape(2 * d1, nc)
-
-
-def _from_bl(ub, d1):
-    """(nu, nc) component-major batch-last -> (nc, d1, 2)."""
-    return jnp.transpose(ub.reshape(2, d1, -1), (2, 1, 0))
-
-
 def _gather_sides_bl(geom, ub):
     """Plus/minus cell columns of a (nu, nc) field: two (nu, nf) lane gathers."""
     msk = interior_mask(geom, 1)[None, :]
-    u0 = ub[:, geom.fcells[:, 0]]
-    u1 = ub[:, geom.fcells[:, 1]] * msk
+    u0 = ub[:, geom.fcells[0]]
+    u1 = ub[:, geom.fcells[1]] * msk
     return u0, u1
 
 
@@ -364,11 +224,9 @@ def _assemble_cells_bl(geom, z0, z1):
     (scatters serialize on TPU; every cell has exactly three facets).
     """
     zcat = jnp.concatenate([z0, z1], axis=1)  # (nu, 2 nf)
-    nf = z0.shape[1]
     out = 0.0
     for l in range(3):
-        idx = geom.cell_facets[:, l] + geom.cfside[:, l] * nf
-        out = out + zcat[:, idx]
+        out = out + zcat[:, geom.cfassemble[l]]
     return out
 
 
@@ -383,8 +241,9 @@ def _matvec_bl(geom, op, ub):
 
 
 def tentative_operator_matvec(geom, op, u):
-    """Assembled-block application of M - c f_impl: (nc, d1, 2) -> same."""
-    return _from_bl(_matvec_bl(geom, op, _to_bl(u)), u.shape[1])
+    """Assembled-block application of M - c f_impl: (2, d1, nc) -> same."""
+    _, d1, nc = u.shape
+    return _matvec_bl(geom, op, u.reshape(2 * d1, nc)).reshape(2, d1, nc)
 
 
 def _patch_apply_bl(geom, op, rb):
@@ -403,7 +262,8 @@ def tentative_patch_apply(geom, op, r):
     Per interior facet:  y1 = Sinv (r1 - C D0inv r0);  y0 = D0inv (r0 - B y1);
     partition-of-unity weight 1/3 (every cell sits in exactly 3 patches).
     """
-    return _from_bl(_patch_apply_bl(geom, op, _to_bl(r)), r.shape[1])
+    _, d1, nc = r.shape
+    return _patch_apply_bl(geom, op, r.reshape(2 * d1, nc)).reshape(2, d1, nc)
 
 
 def _patch_color(geom, op, k, rb):
@@ -413,8 +273,8 @@ def _patch_color(geom, op, k, rb):
         cells without a color-k facet (those are untouched by this sweep).
     """
     b0, b1 = geom.fcol_bounds[k], geom.fcol_bounds[k + 1]
-    r0 = rb[:, geom.fcells[b0:b1, 0]]  # (nu, nfk)
-    r1 = rb[:, geom.fcells[b0:b1, 1]]
+    r0 = rb[:, geom.fcells[0, b0:b1]]  # (nu, nfk)
+    r1 = rb[:, geom.fcells[1, b0:b1]]
     Dinv0 = op.Dinv0[:, :, b0:b1]
     t = r1 - _bm(op.Cx[:, :, b0:b1], _bm(Dinv0, r0))
     y1 = _bm(op.Sinv[:, :, b0:b1], t)
@@ -449,11 +309,5 @@ def tentative_colored_apply(geom, op, r):
     stronger preconditioner than the additive facet-pair variant (which
     averages conflicting patch corrections with weight 1/3).
     """
-    return _from_bl(_colored_apply_bl(geom, op, _to_bl(r)), r.shape[1])
-
-
-def block_apply_cells(blocks_inv, r):
-    """Apply per-cell inverse blocks to a velocity residual (nc, d1, 2)."""
-    nc, d1, _ = r.shape
-    out = jnp.einsum("cij,cj->ci", blocks_inv, r.reshape(nc, -1))
-    return out.reshape(nc, d1, 2)
+    _, d1, nc = r.shape
+    return _colored_apply_bl(geom, op, r.reshape(2 * d1, nc)).reshape(2, d1, nc)

@@ -33,22 +33,24 @@ def pressure_solve(
 ):
     """Solve the condensed HDG mixed-Poisson system for (u, p, lam).
 
-    :arg f_u: u-row right-hand side (nc, d1, 2)
-    :arg f_p: psi-row right-hand side (nc, d0)
-    :arg f_lam: mu-row right-hand side (nf, nt)
-    :returns: (u, p, lam, iteration count)
+    :arg f_u: u-row right-hand side (2, d1, nc)
+    :arg f_p: psi-row right-hand side (d0, nc)
+    :arg f_lam: mu-row right-hand side (nt, nf)
+    :returns: (u, p, lam, iteration count, final preconditioned relative
+        residual — a stalled solve is then visible to callers instead of
+        silently indistinguishable from a converged one)
     """
     g = condense_rhs(geom, cs, f_u, f_p, f_lam).ravel()
     nt = cs.nt
 
     def matvec(v):
-        return trace_matvec(geom, cs, v.reshape(-1, nt)).ravel()
+        return trace_matvec(geom, cs, v.reshape(nt, -1)).ravel()
 
     M = precond if precond is not None else trace_block_jacobi(cs)
     project = deflate_constant(cs.nullvec.ravel())
-    lam_flat, iters, _ = gmres(
+    lam_flat, iters, relres = gmres(
         matvec, g, M=M, rtol=rtol, restart=restart, maxiter=maxiter, project=project
     )
-    lam = lam_flat.reshape(-1, nt)
+    lam = lam_flat.reshape(nt, -1)
     u, p = back_substitute(geom, cs, f_u, f_p, lam)
-    return u, p, lam, iters
+    return u, p, lam, iters, relres

@@ -10,6 +10,9 @@ function coefficients, given trial fields as coefficient arrays:
 - :func:`trace_mass_apply` / :func:`reconstruct_trace_rhs`
                                 <- ``_reconstruct_trace`` (hdg_imex.py:450-469)
 
+All fields are batch-last (velocity (2, d1, nc), pressure (d0, nc), trace
+(nt, nf) — see fem/discretisation.py).
+
 Facet-sign conventions: the stored facet normal ``n_f`` points out of the plus
 cell; all UFL ``dS`` terms above are orientation-invariant, and reduce to the
 expressions implemented here (derivations in each docstring).  Terms involving
@@ -23,6 +26,7 @@ from .fields import (
     cell_grads,
     cell_div,
     facet_traces,
+    facet_trace_plus,
     trace_values,
     scatter_facets,
     facet_integrate_trace,
@@ -45,15 +49,24 @@ __all__ = [
 def star_fields(geom, Qstar):
     """Precompute the advecting-velocity fields used by ``f_impl``.
 
-    Returns (Q* nodal coefficients (nc, d1, 2),
-             plus-trace normal component Q*("+").n at facet quadrature (nf, nqf)).
-    Cell-quadrature values are recomputed on demand by consumers — a
-    persistent (nc, nq, 2) buffer tile-pads ~18x in HBM (2.7 GB at 256^2)
-    and was the largest live allocation of the timestep.
+    Returns (Q* nodal coefficients (2, d1, nc),
+             plus-trace normal component Q*("+").n at facet quadrature
+             (nqf, nf)).
+    Cell-quadrature values are recomputed on demand by consumers.
     """
-    q0, _ = facet_traces(geom, geom.tphi1, Qstar)
-    qn = jnp.einsum("fqc,fc->fq", q0, geom.normal)
+    q0 = facet_trace_plus(geom, geom.tphi1, Qstar)  # (2, nqf, nf)
+    qn = jnp.einsum("aqf,af->qf", q0, geom.normal)
     return Qstar, qn
+
+
+def _convect(geom, star_q, u):
+    """(Q*.grad) u at cell quadrature: (2, nq, nc).
+
+    conv[a] = star_d du_a/dx_d with du_a/dx_d = gphi[q,j,b] jinv[b,d] u[a,j].
+    """
+    R = jnp.einsum("bdc,dqc->bqc", geom.jac_inv, star_q)  # (2=b, nq, nc)
+    GP = jnp.einsum("qjb,bqc->jqc", geom.gphi1, R)
+    return jnp.einsum("jqc,ajc->aqc", GP, u)
 
 
 def f_impl_apply(geom, star, u, alpha=1.0, upwind=True):
@@ -68,34 +81,42 @@ def f_impl_apply(geom, star, u, alpha=1.0, upwind=True):
     above because avg(u.n) = (u+ - u-).n_f / 2 and 1/h_F is single-valued).
     """
     star_coeff, star_n = star
-    star_q = cell_values(geom.phi1, star_coeff)
+    star_q = cell_values(geom.phi1, star_coeff)  # (2, nq, nc)
     # volume: -(w, (Q*.grad) u)
-    gu = cell_grads(geom, geom.gphi1, u)  # (nc, nq, 2comp, 2deriv)
-    conv = jnp.einsum("cqad,cqd->cqa", gu, star_q)  # (Q*.grad)u
+    conv = _convect(geom, star_q, u)
     r = -cell_integrate(geom, geom.phi1, conv)
 
-    u0, u1 = facet_traces(geom, geom.tphi1, u)  # (nf, nqf, 2)
+    u0, u1 = facet_traces(geom, geom.tphi1, u)  # (2, nqf, nf)
     mask = interior_mask(geom, 3)
     jump = (u0 - u1) * mask
-    jn = jnp.einsum("fqc,fc->fq", jump, geom.normal)
-    nrm = geom.normal[:, None, :]
-    hinv = geom.hF_inv[:, None]
+    jn = jnp.einsum("aqf,af->qf", jump, geom.normal)
+    nrm = geom.normal[:, None, :]  # (2, 1, nf)
+    hinv = geom.hF_inv[None, :]
 
     # interior: advective + penalty + upwind (g0/g1 multiply w+ / w- traces)
-    g0 = 0.5 * star_n[..., None] * jump
-    g1 = 0.5 * star_n[..., None] * jump
-    pen = (alpha * hinv * jn)[..., None] * nrm
+    g0 = 0.5 * star_n[None] * jump
+    g1 = 0.5 * star_n[None] * jump
+    pen = (alpha * hinv * jn)[None] * nrm
     g0 = g0 - pen
     g1 = g1 + pen
     if upwind:
-        upw = jnp.abs(star_n)[..., None] * jump
+        upw = jnp.abs(star_n)[None] * jump
         g0 = g0 - upw
         g1 = g1 + upw
     # boundary: -alpha (1/h)(u.n)(w.n) on the plus side
-    u0n = jnp.einsum("fqc,fc->fq", u0, geom.normal)
-    bnd = -(alpha * hinv * u0n)[..., None] * nrm * (1.0 - mask)
+    u0n = jnp.einsum("aqf,af->qf", u0, geom.normal)
+    bnd = -(alpha * hinv * u0n)[None] * nrm * (1.0 - mask)
     g0 = g0 + bnd
     return r + scatter_facets(geom, geom.tphi1, g0, g1)
+
+
+def _div_test_coeffs(geom, scalar_q):
+    """Coefficients of int scalar * div(w) dx for vector test functions w.
+
+    (nq, nc) -> (2, d1, nc):  d phi_i/dx_a = gphi[q,i,b] jinv[b,a].
+    """
+    t = jnp.einsum("q,qib,qc->ibc", geom.wq, geom.gphi1, scalar_q)
+    return jnp.einsum("ibc,bac,c->aic", t, geom.jac_inv, geom.det_jac)
 
 
 def pressure_gradient_apply(geom, p, lam):
@@ -103,12 +124,12 @@ def pressure_gradient_apply(geom, p, lam):
 
     g = int_dx p div w - int_dS lambda (w+ - w-).n - int_ds lambda w.n
     """
-    p_q = cell_values(geom.phi0, p)  # (nc, nq)
-    gw = _div_test_coeffs(geom, p_q)  # int p div w
-    lam_q = trace_values(geom, lam)  # (nf, nqf)
+    p_q = cell_values(geom.phi0, p)  # (nq, nc)
+    gw = _div_test_coeffs(geom, p_q)
+    lam_q = trace_values(geom, lam)  # (nqf, nf)
     nrm = geom.normal[:, None, :]
-    g0 = -lam_q[..., None] * nrm  # interior and boundary have the same plus term
-    g1 = +lam_q[..., None] * nrm
+    g0 = -lam_q[None] * nrm  # interior and boundary have the same plus term
+    g1 = +lam_q[None] * nrm
     return gw + scatter_facets(geom, geom.tphi1, g0, g1)
 
 
@@ -124,17 +145,9 @@ def pressure_gradient_dg_apply(geom, p):
     mask = interior_mask(geom)
     pavg = jnp.where(mask > 0, 0.5 * (p0 + p1), p0)
     nrm = geom.normal[:, None, :]
-    g0 = -pavg[..., None] * nrm
-    g1 = +pavg[..., None] * nrm
+    g0 = -pavg[None] * nrm
+    g1 = +pavg[None] * nrm
     return gw + scatter_facets(geom, geom.tphi1, g0, g1)
-
-
-def _div_test_coeffs(geom, scalar_q):
-    """Coefficients of int scalar * div(w) dx for vector test functions w."""
-    # d/dx_a phi_i = jac_inv[b, a] gphi[q, i, b]
-    return jnp.einsum(
-        "c,q,cq,qib,cba->cia", geom.det_jac, geom.wq, scalar_q, geom.gphi1, geom.jac_inv
-    )
 
 
 def gamma_apply(geom, u, p, lam, tau=1.0):
@@ -159,8 +172,8 @@ def gamma_apply(geom, u, p, lam, tau=1.0):
     rp = rp + scatter_facets(geom, geom.tphi0, g0, g1)
 
     # mu-rows
-    un0 = jnp.einsum("fqc,fc->fq", u0, geom.normal)
-    un1 = jnp.einsum("fqc,fc->fq", u1, geom.normal)
+    un0 = jnp.einsum("aqf,af->qf", u0, geom.normal)
+    un1 = jnp.einsum("aqf,af->qf", u1, geom.normal)
     interior = (un0 - un1) + tau * (p0 + p1 - 2.0 * lam_q)
     boundary = un0 + tau * (p0 - lam_q)
     rl = facet_integrate_trace(geom, jnp.where(mask > 0, interior, boundary))
@@ -173,8 +186,8 @@ def weak_divergence_values(geom, Q_q, Qn0, Qn1):
     weak_div(psi, Q) = int psi div Q - int_dS avg(psi) (Q+ - Q-).n
                        - int_ds psi Q.n                      (hdg_imex.py:353-365)
 
-    :arg Q_q: divergence values at cell quadrature (nc, nq)
-    :arg Qn0/Qn1: plus/minus normal traces Q_side.n_f at facet quadrature (nf, nqf)
+    :arg Q_q: divergence values at cell quadrature (nq, nc)
+    :arg Qn0/Qn1: plus/minus normal traces Q_side.n_f at facet quadrature (nqf, nf)
     """
     rp = cell_integrate(geom, geom.phi0, Q_q)
     mask = interior_mask(geom)
@@ -188,8 +201,8 @@ def weak_divergence_apply(geom, Q):
     """psi-row coefficients of ``_weak_divergence(psi, Q)`` for a DG velocity Q."""
     divq = cell_div(geom, Q)
     Q0, Q1 = facet_traces(geom, geom.tphi1, Q)
-    Qn0 = jnp.einsum("fqc,fc->fq", Q0, geom.normal)
-    Qn1 = jnp.einsum("fqc,fc->fq", Q1, geom.normal)
+    Qn0 = jnp.einsum("aqf,af->qf", Q0, geom.normal)
+    Qn1 = jnp.einsum("aqf,af->qf", Q1, geom.normal)
     return weak_divergence_values(geom, divq, Qn0, Qn1)
 
 
@@ -201,11 +214,11 @@ def trace_mass_apply(geom, lam, tau=1.0):
     """
     fac = jnp.where(jnp.arange(geom.n_facets) < geom.n_int, 2.0 * tau, tau)
     lam_q = trace_values(geom, lam)
-    return fac[:, None] * facet_integrate_trace(geom, lam_q) / 1.0
+    return fac[None, :] * facet_integrate_trace(geom, lam_q)
 
 
 def reconstruct_trace_rhs(geom, Q, p, tau=1.0):
-    """RHS of the t=0 trace reconstruction (hdg_imex.py:463-466).
+    """RHS of the t=0 trace reconstruction (hdg_imex.py:463-466): (nt, nf).
 
     2 avg((Q.n + tau p) mu) dS + (Q.n + tau p) mu ds
       = [ (Q+-Q-).n + tau (p+ + p-) ] mu   (interior)
@@ -213,8 +226,8 @@ def reconstruct_trace_rhs(geom, Q, p, tau=1.0):
     """
     Q0, Q1 = facet_traces(geom, geom.tphi1, Q)
     p0, p1 = facet_traces(geom, geom.tphi0, p)
-    un0 = jnp.einsum("fqc,fc->fq", Q0, geom.normal)
-    un1 = jnp.einsum("fqc,fc->fq", Q1, geom.normal)
+    un0 = jnp.einsum("aqf,af->qf", Q0, geom.normal)
+    un1 = jnp.einsum("aqf,af->qf", Q1, geom.normal)
     mask = interior_mask(geom)
     interior = (un0 - un1) + tau * (p0 + p1)
     boundary = un0 + tau * p0

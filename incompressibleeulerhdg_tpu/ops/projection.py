@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fem.lagrange import shifted_legendre
-from .fields import facet_traces, interior_mask
+from .fields import cell_values, facet_traces, interior_mask
 
 __all__ = ["BDMProjection", "build_bdm_projection", "project_bdm"]
 
@@ -73,6 +73,12 @@ def _nedelec_span(m, qp):
         h = x**i * y ** (m - 1 - i)
         vs.append(np.stack([-y * h, x * h], -1))
     return np.stack(vs)
+
+
+def _amajor_perm(d1):
+    """Permutation taking an i-major (i*2+a) local u-dof vector to the
+    component-major (a*d1+i) convention of the batch-last field layout."""
+    return np.array([i * 2 + a for a in range(2) for i in range(d1)])
 
 
 def cell_geometry_classes(mesh, extra=None):
@@ -142,7 +148,8 @@ def build_bdm_projection(disc):
         rows = np.einsum("c,q,qi,cba,jqb->cjia", det, V1.qw, V1.phi, jac_inv, vhat)
         D[:, 3 * nm :, :] = rows.reshape(nc_r, nj, n)
 
-    recon = np.linalg.inv(D)
+    # rows permuted to the component-major (a*d1+i) batch-last dof layout
+    recon = np.linalg.inv(D)[:, _amajor_perm(d1), :]
 
     f = lambda a: jnp.asarray(a, dtype=disc.dtype)
     return BDMProjection(
@@ -156,43 +163,42 @@ def build_bdm_projection(disc):
 
 
 def project_bdm(geom, proj, Q):
-    """Apply the BDM projection: (nc, d1, 2) -> (nc, d1, 2), jittable.
+    """Apply the BDM projection: (2, d1, nc) -> (2, d1, nc), jittable.
 
     Mirrors reference common.py:91-108 (interpolate-with-averaging + zero
     normal boundary condition).
     """
+    d1 = geom.d1
     # (1) averaged facet normal moments (zero on boundary facets = the
     #     DirichletBC((0,0), "on_boundary") of the reference)
-    Q0, Q1 = facet_traces(geom, geom.tphi1, Q)
-    mask = interior_mask(geom, 2)
-    avg_n = 0.5 * jnp.einsum("fqc,fc->fq", Q0 + Q1, geom.normal) * mask
-    w = geom.flen[:, None] * geom.wqf[None, :]
-    m_f = jnp.einsum("fq,qm,fq->fm", w, proj.leg, avg_n)  # (nf, nm)
+    Q0, Q1 = facet_traces(geom, geom.tphi1, Q)  # (2, nqf, nf)
+    mask = interior_mask(geom, 1)
+    avg_n = 0.5 * jnp.einsum("aqf,af->qf", Q0 + Q1, geom.normal) * mask[None, :]
+    w = geom.wqf[:, None] * geom.flen[None, :]
+    m_f = jnp.einsum("qf,qm,qf->mf", w, proj.leg, avg_n)  # (nm, nf)
 
-    # (2) interior Nedelec moments
+    # (2) interior Nedelec moments: im[j, c] = det wq Q_a jinv[b, a] vhat[j, b]
     if proj.n_interior_dofs > 0:
-        im = jnp.einsum(
-            "c,q,cqa,cba,jqb->cj", geom.det_jac, geom.wq, _qvals(geom, Q), geom.jac_inv, proj.vhat
-        )
+        Qq = cell_values(geom.phi1, Q)  # (2, nq, nc)
+        V = jnp.einsum("bac,aqc->bqc", geom.jac_inv, Qq)
+        im = geom.det_jac * jnp.einsum("q,jqb,bqc->jc", geom.wq, proj.vhat, V)
     else:
-        im = jnp.zeros((geom.n_cells, 0), dtype=Q.dtype)
+        im = jnp.zeros((0, geom.n_cells), dtype=Q.dtype)
 
     # (3) gather per-cell dofs (sign-corrected to the cell's outward normal)
     #     and reconstruct
-    mf_cell = m_f[geom.cell_facets] * geom.cfsign[..., None]  # (nc, 3, nm)
-    dofs = jnp.concatenate([mf_cell.reshape(geom.n_cells, -1), im], axis=1)
+    mf_cell = [
+        m_f[:, geom.cell_facets[l]] * geom.cfsign[l][None, :] for l in range(3)
+    ]
+    dofs = jnp.concatenate(mf_cell + [im], axis=0)  # (nu, nc)
     # apply the per-class reconstruction matrices as one GEMM per class
     # (gathering (nc, n, n) blocks tile-pads ~25x in HBM on TPU)
     ncls = proj.recon.shape[0]
     if ncls > 16:
-        sol = jnp.einsum("cij,cj->ci", proj.recon[proj.class_id], dofs)
+        sol = jnp.einsum("cij,jc->ic", proj.recon[proj.class_id], dofs)
     else:
         sol = jnp.zeros_like(dofs)
         for k in range(ncls):
-            yk = dofs @ proj.recon[k].T
-            sol = jnp.where((proj.class_id == k)[:, None], yk, sol)
-    return sol.reshape(geom.n_cells, -1, 2)
-
-
-def _qvals(geom, Q):
-    return jnp.einsum("qi,cia->cqa", geom.phi1, Q)
+            yk = proj.recon[k] @ dofs
+            sol = jnp.where((proj.class_id == k)[None, :], yk, sol)
+    return sol.reshape(2, d1, geom.n_cells)

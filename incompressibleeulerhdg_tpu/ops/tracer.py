@@ -26,24 +26,25 @@ __all__ = ["tracer_advection_apply", "tracer_step"]
 def tracer_advection_apply(geom, q, u):
     """Coefficients of adv(chi, q, u) in the DG(k) tracer test space.
 
-    :arg q: tracer (nc, d0)
-    :arg u: advecting velocity (nc, d1, 2) — assumed (approximately)
+    :arg q: tracer (d0, nc)
+    :arg u: advecting velocity (2, d1, nc) — assumed (approximately)
         continuous; facet fluxes use each side's own trace as the reference
         does after CG projection
     """
     # volume: q (u . grad chi + chi div u)
-    q_q = F.cell_values(geom.phi0, q)  # (nc, nq)
-    u_q = F.cell_values(geom.phi1, u)  # (nc, nq, 2)
-    divu = F.cell_div(geom, u)  # (nc, nq)
-    gphys0 = jnp.einsum("qib,cba->cqia", geom.gphi0, geom.jac_inv)
-    r = jnp.einsum("c,q,cq,cqa,cqia->ci", geom.det_jac, geom.wq, q_q, u_q, gphys0)
+    q_q = F.cell_values(geom.phi0, q)  # (nq, nc)
+    u_q = F.cell_values(geom.phi1, u)  # (2, nq, nc)
+    divu = F.cell_div(geom, u)  # (nq, nc)
+    # int q u_a dchi_i/dx_a: t[i, b, c] = wq gphi0[q,i,b] (q u_a jinv[b,a])[q,c]
+    ua_j = jnp.einsum("bac,aqc->bqc", geom.jac_inv, u_q)
+    r = jnp.einsum("c,q,qib,qc,bqc->ic", geom.det_jac, geom.wq, geom.gphi0, q_q, ua_j)
     r = r + F.cell_integrate(geom, geom.phi0, q_q * divu)
 
     # facet: -(chi+ - chi-)(un+ q+ - un- q-), interior only
     q0, q1 = F.facet_traces(geom, geom.tphi0, q)
     u0, u1 = F.facet_traces(geom, geom.tphi1, u)
-    un0 = jnp.einsum("fqc,fc->fq", u0, geom.normal)
-    un1 = -jnp.einsum("fqc,fc->fq", u1, geom.normal)  # minus side outward normal
+    un0 = jnp.einsum("aqf,af->qf", u0, geom.normal)
+    un1 = -jnp.einsum("aqf,af->qf", u1, geom.normal)  # minus side outward normal
     up0 = 0.5 * (un0 + jnp.abs(un0))
     up1 = 0.5 * (un1 + jnp.abs(un1))
     flux = (up0 * q0 - up1 * q1) * F.interior_mask(geom)
@@ -54,7 +55,7 @@ def tracer_advection_apply(geom, q, u):
 
 def cg_project_velocity(geom, cg_space, u):
     """Project a DG(k+1) velocity onto vector CG(k+1) and return it in the DG
-    nodal layout (nc, d1, 2).
+    nodal layout (2, d1, nc).
 
     The reference projects the advecting velocity onto CG before the tracer
     flux (common.py:119-122).  The CG(k+1) lattice nodes coincide with the
@@ -64,7 +65,7 @@ def cg_project_velocity(geom, cg_space, u):
     """
     from ..fem.cg import cg_project_dg, cg_gather
 
-    x, _ = cg_project_dg(geom, cg_space, u)
+    x, _ = cg_project_dg(geom, cg_space, u)  # (2, n_dofs)
     return cg_gather(cg_space, x)
 
 

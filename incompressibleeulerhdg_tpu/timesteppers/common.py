@@ -39,6 +39,20 @@ class IncompressibleEuler(ABC):
         self._label = label
         self.domain_volume = disc.domain_volume
         self._proj = build_bdm_projection(disc)
+        self._cg_space = None
+
+    def tracer_cg_space(self):
+        """Vector CG(k+1) space for the tracer advecting-velocity projection.
+
+        The reference projects the advecting velocity onto CG before every
+        tracer flux (``project_onto_cg=True`` at all call sites,
+        common.py:110-129); built lazily since most runs carry no tracer.
+        """
+        if self._cg_space is None:
+            from ..fem.cg import build_cg_space
+
+            self._cg_space = build_cg_space(self.disc, self.degree + 1)
+        return self._cg_space
 
     @property
     def label(self):

@@ -81,8 +81,8 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
 
             def apply_B(g):
                 """B g: cell values int div(v) psi = sum_l s_l g_l."""
-                gl = (Z * g)[geom.cell_facets] * geom.cfsign
-                return jnp.sum(gl, axis=1)
+                gl = (Z * g)[geom.cell_facets] * geom.cfsign  # (3, nc)
+                return jnp.sum(gl, axis=0)
 
             def mixed_solve(b_p):
                 """Schur-complement solve of the Darcy system with rhs (0, b_p).
@@ -110,24 +110,24 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
                 """dt * [ -(w, (Q.grad)Q) + advective facet flux ] coefficients."""
                 a, b = RT.rt_cell_coeffs(geom, rt, Q)
                 # (Q.grad)Q = a_c * Q(x)  (grad of an RT1 field is a_c * Identity)
-                Qq = RT.rt_eval_cellq(geom, rt, Q)
-                Gvol = -dt * a[:, None, None] * Qq
+                Qq = RT.rt_eval_cellq(geom, rt, Q)  # (2, nq, nc)
+                Gvol = -dt * a[None, None, :] * Qq
                 r = RT.rt_volume_adjoint(geom, rt, Gvol)
 
-                v0, v1 = RT.rt_facet_values(geom, rt, Q)
+                v0, v1 = RT.rt_facet_values(geom, rt, Q)  # (2, nqf, nf)
                 mask = F.interior_mask(geom, 3)
                 jump = (v0 - v1) * mask
-                qn = jnp.einsum("fqd,fd->fq", v0, geom.normal)
+                qn = jnp.einsum("dqf,df->qf", v0, geom.normal)
                 if upwind:
                     # (Q+.n)(jump Q).avg(w) - 1/2 |Q+.n| (jump Q).(jump w)
                     # (conforming_implicit.py:48-58)
-                    G0 = dt * (0.5 * qn[..., None] * jump - 0.5 * jnp.abs(qn)[..., None] * jump)
-                    G1 = dt * (0.5 * qn[..., None] * jump + 0.5 * jnp.abs(qn)[..., None] * jump)
+                    G0 = dt * (0.5 * qn[None] * jump - 0.5 * jnp.abs(qn)[None] * jump)
+                    G1 = dt * (0.5 * qn[None] * jump + 0.5 * jnp.abs(qn)[None] * jump)
                 else:
                     # centered: 2 avg((Q.n) Q).avg(w) = (Q+.n)(jump Q).avg(w) for RT
                     # (conforming_implicit.py:59-62)
-                    G0 = dt * 0.5 * qn[..., None] * jump
-                    G1 = dt * 0.5 * qn[..., None] * jump
+                    G0 = dt * 0.5 * qn[None] * jump
+                    G1 = dt * 0.5 * qn[None] * jump
                 return r + RT.rt_facet_adjoint(geom, rt, G0, G1 * mask)
 
             def monolithic_matvec(Qlin, v, phi):
@@ -136,19 +136,19 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
                 vq = RT.rt_eval_cellq(geom, rt, Z * v)
                 # inner(grad Q, outer(v, w)) = a_Q * v . w for RT1
                 r_v = RT.rt_mass_apply(geom, rt, Z * v) + dt * RT.rt_volume_adjoint(
-                    geom, rt, aQ[:, None, None] * vq
+                    geom, rt, aQ[None, None, :] * vq
                 )
                 # - advective_facet_flux(v) with Q as advecting field
                 q0, q1 = RT.rt_facet_values(geom, rt, Qlin)
                 w0, w1 = RT.rt_facet_values(geom, rt, Z * v)
                 mask = F.interior_mask(geom, 3)
                 jmp = (w0 - w1) * mask
-                qn = jnp.einsum("fqd,fd->fq", q0, geom.normal)
-                G0 = -dt * 0.5 * qn[..., None] * jmp
-                G1 = -dt * 0.5 * qn[..., None] * jmp
+                qn = jnp.einsum("dqf,df->qf", q0, geom.normal)
+                G0 = -dt * 0.5 * qn[None] * jmp
+                G1 = -dt * 0.5 * qn[None] * jmp
                 if upwind:
-                    G0 = G0 + dt * jnp.abs(qn)[..., None] * jmp
-                    G1 = G1 - dt * jnp.abs(qn)[..., None] * jmp
+                    G0 = G0 + dt * jnp.abs(qn)[None] * jmp
+                    G1 = G1 - dt * jnp.abs(qn)[None] * jmp
                 r_v = r_v + RT.rt_facet_adjoint(geom, rt, G0, G1 * mask)
                 # - dt phi div w ; psi div v
                 r_v = r_v - dt * apply_BT(phi)
@@ -227,9 +227,9 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
         nt = self.get_timesteps(T_final, warmup)
         Q = RT.rt_interpolate(self.disc, rt, Q_initial) * rt.int_dof_mask
         # DG0 pressure: value at centroids
-        xc = jnp.mean(geom.xnodes1, axis=1)
+        xc = jnp.mean(geom.xnodes1, axis=1)  # (2, nc)
         p = jnp.broadcast_to(
-            jnp.asarray(p_initial(xc[:, 0], xc[:, 1])), (geom.n_cells,)
+            jnp.asarray(p_initial(xc[0], xc[1])), (geom.n_cells,)
         ).astype(self.disc.dtype)
         p = p - jnp.sum(p * rt.area) / self.domain_volume
         q_tracer = (
@@ -238,24 +238,25 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
 
         for callback in self.callbacks:
             callback.reset()
-            callback(self.velocity_dg(Q), p[:, None], 0.0, q_tracer=q_tracer)
+            callback(self.velocity_dg(Q), p[None, :], 0.0, q_tracer=q_tracer)
 
         for k in tqdm.tqdm(range(nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
                     q_tracer = tracer_step(
-                        geom, q_tracer, self.velocity_dg(Q), self._dt
+                        geom, q_tracer, self.velocity_dg(Q), self._dt,
+                        cg_space=self.tracer_cg_space(),
                     )
                 f_dofs = RT.rt_interpolate(self.disc, rt, f_rhs(k * self._dt))
                 Q, p = self._step(self.geom, self._rt, Q, p, f_dofs)
                 jax.block_until_ready(Q)
             for callback in self.callbacks:
                 callback(
-                    self.velocity_dg(Q), p[:, None], (k + 1) * self._dt, q_tracer=q_tracer
+                    self.velocity_dg(Q), p[None, :], (k + 1) * self._dt, q_tracer=q_tracer
                 )
 
-        return self.velocity_dg(Q), p[:, None]
+        return self.velocity_dg(Q), p[None, :]
 
     def velocity_dg(self, Q):
-        """RT velocity as a DG1 nodal field (nc, 3, 2) for outputs/errors."""
+        """RT velocity as a DG1 nodal field (2, 3, nc) for outputs/errors."""
         return RT.rt_to_dg1(self.geom, self._rt, Q)

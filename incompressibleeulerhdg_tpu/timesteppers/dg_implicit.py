@@ -74,30 +74,30 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
                 return jnp.concatenate([u.ravel(), p.ravel()])
 
             def unflat(v):
-                return v[:nu].reshape(nc, d1, 2), v[nu:].reshape(nc, d0)
+                return v[:nu].reshape(2, d1, nc), v[nu:].reshape(d0, nc)
 
             def matvec(v):
                 return flat(*dg_matvec(geom, t_op, *unflat(v)))
 
             def M(v):
                 r_u, r_p = unflat(v)
-                dQt, _ = tentative_solve(
+                dQt, _, _ = tentative_solve(
                     geom, star, r_u, dt, alpha=alpha, upwind=upwind,
                     rtol=1e-6, maxiter=60, op=t_op,
                 )
                 f_p = (-1.0 / dt) * weak_divergence_apply(geom, dQt) + (1.0 / dt) * r_p
-                du, dp, _, _ = pressure_solve(
+                du, dp, _, _, _ = pressure_solve(
                     geom, cs, jnp.zeros_like(r_u), f_p,
-                    jnp.zeros((geom.n_facets, cs.nt), r_u.dtype), rtol=1e-6,
+                    jnp.zeros((cs.nt, geom.n_facets), r_u.dtype), rtol=1e-6,
                     maxiter=60, precond=precond,
                 )
                 return flat(dQt + dt * du, dp)
 
-            nullv = flat(jnp.zeros((nc, d1, 2), b_u.dtype), jnp.ones((nc, d0), b_u.dtype))
+            nullv = flat(jnp.zeros((2, d1, nc), b_u.dtype), jnp.ones((d0, nc), b_u.dtype))
             nullv = nullv / jnp.linalg.norm(nullv)
             project = lambda v: v - nullv * jnp.dot(nullv, v)
 
-            b = flat(b_u, jnp.zeros((nc, d0), b_u.dtype))
+            b = flat(b_u, jnp.zeros((d0, nc), b_u.dtype))
             x, _, _ = fgmres(
                 matvec, b, M=M, x0=flat(Q0, p0), rtol=10 * rtol_p,
                 restart=20, maxiter=100, project=project,
@@ -130,7 +130,9 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
         for k in tqdm.tqdm(range(nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
-                    q_tracer = tracer_step(self.geom, q_tracer, Q, self._dt)
+                    q_tracer = tracer_step(
+                        self.geom, q_tracer, Q, self._dt, cg_space=self.tracer_cg_space()
+                    )
                 f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
                 Q, p = self._step(
                     self.geom, self._proj, self._cs, self._gtmg, Q, p, f_nodal

@@ -84,15 +84,15 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
                 # 2a: tentative velocity
                 t_op = build_tentative_operator(geom, star, dt, alpha, upwind)
                 b = F.mass_apply(geom, geom.m1, Q + dt * f_nodal)
-                Qt, it_tent = tentative_solve(
+                Qt, it_tent, rr_t = tentative_solve(
                     geom, star, b, dt, alpha=alpha, upwind=upwind, rtol=rtol_t,
                     op=t_op,
                 )
                 # 2b: pressure correction (volume-divergence rhs)
                 f_p = (-1.0 / dt) * F.cell_integrate(geom, geom.phi0, F.cell_div(geom, Qt))
                 zero_u = jnp.zeros_like(Q)
-                zero_lam = jnp.zeros((geom.n_facets, cs.nt), dtype=Q.dtype)
-                du, phi, lam, it_p = pressure_solve(
+                zero_lam = jnp.zeros((cs.nt, geom.n_facets), dtype=Q.dtype)
+                du, phi, lam, it_p, rr_p = pressure_solve(
                     geom, cs, zero_u, f_p, zero_lam, rtol=rtol_p, precond=precond
                 )
                 # 2c: velocity update
@@ -128,7 +128,9 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
         for k in tqdm.tqdm(range(nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
-                    q_tracer = tracer_step(geom, q_tracer, Q, self._dt)
+                    q_tracer = tracer_step(
+                        geom, q_tracer, Q, self._dt, cg_space=self.tracer_cg_space()
+                    )
                 f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
                 Q, p, it_tent, it_p = self._step(
                     self.geom, self._proj, self._cs, self._gtmg, Q, p, f_nodal

@@ -87,8 +87,8 @@ class AnimationCallback(Callback):
         basis = triangle_basis(space.degree)
         corners = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
         tab = basis.tabulate(corners)  # (3, nloc)
-        loc = np.asarray(omega)[np.asarray(space.dofmap)]
-        omega_corners = np.einsum("pi,ci->cp", tab, loc)
+        loc = np.asarray(omega)[np.asarray(space.dofmap)]  # (nloc, nc)
+        omega_corners = np.einsum("pi,ic->cp", tab, loc)
 
         fields = {
             "velocity": sample_dg_at_corners(disc, Q),

@@ -16,13 +16,17 @@ _CORNERS = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
 
 
 def sample_dg_at_corners(disc, u):
-    """Sample a DG coefficient array at the 3 cell corners: (nc, 3[, 2])."""
+    """Sample a batch-last DG coefficient array at the 3 cell corners.
+
+    (2, d1, nc) velocity -> (nc, 3, 2);  (d0, nc) scalar -> (nc, 3)
+    (batch-major outputs: the VTK writer is host-side numpy).
+    """
     u = np.asarray(u)
     if u.ndim == 3:  # velocity in V1
         tab = disc.V1.basis.tabulate(_CORNERS)  # (3, d1)
-        return np.einsum("pi,cia->cpa", tab, u)
+        return np.einsum("pi,aic->cpa", tab, u)
     tab = disc.V0.basis.tabulate(_CORNERS)
-    return np.einsum("pi,ci->cp", tab, u)
+    return np.einsum("pi,ic->cp", tab, u)
 
 
 def write_vtu(filename, mesh, point_data=None):

@@ -159,8 +159,8 @@ def test_rt_element_basics():
     rt = RT.build_rt_tables(disc)
     gd = RT.rt_interpolate(disc, rt, lambda x, y: (1.5 * jnp.ones_like(x), -0.5 * jnp.ones_like(x)))
     vals = RT.rt_eval_cellq(g, rt, gd)
-    assert float(jnp.abs(vals[..., 0] - 1.5).max()) < 1e-12
-    assert float(jnp.abs(vals[..., 1] + 0.5).max()) < 1e-12
+    assert float(jnp.abs(vals[0] - 1.5).max()) < 1e-12
+    assert float(jnp.abs(vals[1] + 0.5).max()) < 1e-12
     # divergence of interpolated linear field (x, y): div = 2
     gd2 = RT.rt_interpolate(disc, rt, lambda x, y: (x, y))
     div = RT.rt_divergence(g, rt, gd2)

@@ -34,9 +34,9 @@ def mixed_matvec(disc, Q, p, lam):
 def random_state(disc, seed=0):
     rng = np.random.default_rng(seed)
     g = disc.geom
-    Q = jnp.asarray(rng.standard_normal((g.n_cells, g.d1, 2)))
-    p = jnp.asarray(rng.standard_normal((g.n_cells, g.d0)))
-    lam = jnp.asarray(rng.standard_normal((g.n_facets, g.nt)))
+    Q = jnp.asarray(rng.standard_normal((2, g.d1, g.n_cells)))
+    p = jnp.asarray(rng.standard_normal((g.d0, g.n_cells)))
+    lam = jnp.asarray(rng.standard_normal((g.nt, g.n_facets)))
     return Q, p, lam
 
 
@@ -74,12 +74,12 @@ def test_trace_nullspace():
     disc = HDGDiscretisation(unit_square_mesh(3), 1)
     g = disc.geom
     cs = build_condensed_system(disc)
-    ones = jnp.ones((g.n_facets, g.nt))
+    ones = jnp.ones((g.nt, g.n_facets))
     y = trace_matvec(g, cs, ones)
     assert float(jnp.abs(y).max()) < 1e-11
     # and the corresponding local solution for lam = 1 is (u, p) = (0, 1)
-    zero_u = jnp.zeros((g.n_cells, g.d1, 2))
-    zero_p = jnp.zeros((g.n_cells, g.d0))
+    zero_u = jnp.zeros((2, g.d1, g.n_cells))
+    zero_p = jnp.zeros((g.d0, g.n_cells))
     # back-substitution with f = 0: x = -A^{-1} B lam; for lam = 1 the
     # nullspace vector gives x = (0, 1)
     u, p = back_substitute(g, cs, zero_u, zero_p, ones)
@@ -98,11 +98,11 @@ def test_pressure_solve_manufactured_neumann_poisson(k):
         g = disc.geom
         cs = build_condensed_system(disc)
         pi = jnp.pi
-        Gq = 2 * pi**2 * jnp.cos(pi * g.xq[..., 0]) * jnp.cos(pi * g.xq[..., 1])
+        Gq = 2 * pi**2 * jnp.cos(pi * g.xq[0]) * jnp.cos(pi * g.xq[1])
         f_p = F.cell_integrate(g, g.phi0, Gq)
-        zero_u = jnp.zeros((g.n_cells, g.d1, 2))
-        zero_lam = jnp.zeros((g.n_facets, g.nt))
-        u, p, lam, iters = pressure_solve(g, cs, zero_u, f_p, zero_lam, rtol=1e-12)
+        zero_u = jnp.zeros((2, g.d1, g.n_cells))
+        zero_lam = jnp.zeros((g.nt, g.n_facets))
+        u, p, lam, iters, relres = pressure_solve(g, cs, zero_u, f_p, zero_lam, rtol=1e-12)
         p = p - F.integral(g, g.phi0, p)  # zero mean (volume 1)
         p_exact = disc.interpolate_pressure(
             lambda x, y: jnp.cos(pi * x) * jnp.cos(pi * y)
@@ -124,7 +124,7 @@ def test_pressure_solve_exact_discrete_solution():
     Q, p, lam = random_state(disc, seed=3)
     # make rhs from a state, then resolve; deflation fixes the constant mode
     b_u, b_p, b_lam = mixed_matvec(disc, Q, p, lam)
-    u2, p2, lam2, iters = pressure_solve(g, cs, b_u, b_p, b_lam, rtol=1e-13)
+    u2, p2, lam2, iters, relres = pressure_solve(g, cs, b_u, b_p, b_lam, rtol=1e-13)
     r_u, r_p, r_lam = mixed_matvec(disc, u2, p2, lam2)
     assert float(jnp.abs(r_u - b_u).max()) < 1e-8
     assert float(jnp.abs(r_p - b_p).max()) < 1e-8

