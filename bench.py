@@ -33,6 +33,11 @@ def main():
     # TPU matmuls default to bfloat16 passes; Krylov orthogonalisation and
     # the dense patch solves need true float32 accumulation
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compilation cache: repeat benchmark runs skip the multi-minute
+    # XLA compile of the fused timestep
+    os.makedirs("/root/.cache/jax", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     nx = int(os.environ.get("BENCH_NX", 256))
     degree = int(os.environ.get("BENCH_DEGREE", 2))
@@ -94,7 +99,10 @@ def main():
     for k in range(n_steps):
         out = step(*op_args, sQ, sp, sl, jnp.asarray((k + 1) * dt, dtype=dtype), dummy_q, None)
         sQ, sp, sl = out[0], out[1], out[2]
-    jax.block_until_ready(sQ[0])
+        # synchronise every step: queueing a second step while one is in
+        # flight doubles the live workspace (device fault at 512^2), and
+        # async dispatch makes per-step timing unreliable anyway
+        jax.block_until_ready(sQ[0])
     per_step = (time.time() - t0) / n_steps
 
     counts = out[4]

@@ -92,6 +92,24 @@ def build_parser():
         default="float64",
         help="runtime floating-point precision (float32 for the TPU fast path)",
     )
+    parser.add_argument(
+        "--checkpoint_every",
+        type=int,
+        default=0,
+        help="save the solver state every N timesteps (0 = off; HDG IMEX only)",
+    )
+    parser.add_argument(
+        "--checkpoint_file",
+        type=str,
+        default="checkpoint.npz",
+        help="checkpoint file path",
+    )
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        default=False,
+        help="resume from --checkpoint_file (validated against this config)",
+    )
     return parser
 
 
@@ -249,8 +267,21 @@ def main(argv=None):
     else:
         q_0 = None
 
+    solve_kwargs = {}
+    if args.checkpoint_every or args.resume:
+        from ..timesteppers.hdg_imex import IncompressibleEulerHDGIMEX
+
+        if not isinstance(timestepper, IncompressibleEulerHDGIMEX):
+            raise RuntimeError("checkpoint/resume is supported for the HDG IMEX schemes")
+        solve_kwargs = dict(
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_path=args.checkpoint_file,
+            resume=args.resume,
+        )
+
     Q, p = timestepper.solve(
-        Q_0, p_0, q_0, model_problem.f_rhs(), args.tfinal, warmup=args.warmup
+        Q_0, p_0, q_0, model_problem.f_rhs(), args.tfinal, warmup=args.warmup,
+        **solve_kwargs,
     )
 
     log_summary()

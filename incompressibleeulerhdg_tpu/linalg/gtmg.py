@@ -331,9 +331,14 @@ def _coarse_solve(pc, rc):
     def Ac(v):
         vg = v[pc.cells]  # (3, nc)
         loc = jnp.einsum("abc,bc->ac", pc.K_elem, vg)  # (3, nc)
-        # vertex assembly via flat-index gather over the padded adjacency
-        g = loc.ravel()[pc.vc_pos * loc.shape[1] + pc.vc]  # (nv, Dc)
-        return jnp.sum(g * pc.vc_mask, axis=1)
+        # vertex assembly: one flat 1-D gather per adjacency column ((nv, D)
+        # gathers tile-pad D -> 128 lanes, ~20x in HBM)
+        locf = loc.ravel()
+        nc_ = loc.shape[1]
+        out = 0.0
+        for d in range(pc.vc.shape[1]):
+            out = out + pc.vc_mask[:, d] * locf[pc.vc_pos[:, d] * nc_ + pc.vc[:, d]]
+        return out
 
     def Dc(v):
         return pc.K_diag_inv * v
@@ -357,10 +362,15 @@ def restrict(pc, lam):
     s = pc.trace_nodes[:, None]
     a_lo = jnp.sum(lam * (1.0 - s), axis=0)  # (nf,)
     a_hi = jnp.sum(lam * s, axis=0)
-    g_lo = a_lo[pc.vf]  # (nv, Dv)
-    g_hi = a_hi[pc.vf]
-    vals = jnp.where(pc.vf_end == 0, g_lo, g_hi)
-    return jnp.sum(vals * pc.vf_mask, axis=1)
+    # side-concatenated flat gather per adjacency column (padded (nv, Dv)
+    # gathers tile-pad Dv -> 128 lanes)
+    acat = jnp.concatenate([a_lo, a_hi])
+    nf_ = a_lo.shape[0]
+    out = 0.0
+    for d in range(pc.vf.shape[1]):
+        idx = pc.vf[:, d] + pc.vf_end[:, d] * nf_
+        out = out + pc.vf_mask[:, d] * acat[idx]
+    return out
 
 
 def gtmg_apply(geom, cs, pc, r_flat):

@@ -129,7 +129,14 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     # ------------------------------------------------------------------
     # volume convection  +c * int phi_i (Q*.grad) phi_j  (= -c * vol_f_impl)
     star_q = jnp.einsum("qi,aic->aqc", geom.phi1, star_bl)  # (2, nq, nc)
-    R = jnp.einsum("bac,aqc->bqc", geom.jac_inv, star_q)  # (2=b, nq, nc)
+    jinv = geom.jac_inv
+    # 2-term elementwise contraction (lane-batched einsum would relayout)
+    R = jnp.stack(
+        [
+            jinv[b, 0][None, :] * star_q[0] + jinv[b, 1][None, :] * star_q[1]
+            for b in (0, 1)
+        ]
+    )  # (2=b, nq, nc)
     Gvol = jnp.einsum("q,qi,qjb->ijbq", geom.wq, geom.phi1, geom.gphi1)
     S_own = c * geom.det_jac[None, None, :] * jnp.einsum("ijbq,bqc->ijc", Gvol, R)
     # mass
@@ -157,9 +164,11 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
         Ct = Ct + onehot[:, None, :] * coeff[None, :, :]
         NNt = NNt + onehot[:, None, None, :] * (pen_l[None, None, :] * nn_l)[None]
     S_own = S_own + jnp.einsum("tijq,tqc->ijc", Gt, Ct)
-    D5 = jnp.einsum("ab,ijc->aibjc", eye2, S_own) + jnp.einsum(
-        "tij,tabc->aibjc", Pt, NNt
+    pen5 = sum(
+        Pt[t][None, :, None, :, None] * NNt[t][:, None, :, None, :]
+        for t in range(6)
     )
+    D5 = jnp.einsum("ab,ijc->aibjc", eye2, S_own) + pen5
     D_bl = D5.reshape(nu, nu, nc)
     Dinv_bl = gauss_jordan_inv_bl(D_bl)
 
@@ -169,8 +178,10 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     # per-facet trace tables selected by one-hot sums (static per mesh):
     onehot0 = (geom.ftab[0][None, :] == jnp.arange(6)[:, None]).astype(dtype)
     onehot1 = (geom.ftab[1][None, :] == jnp.arange(6)[:, None]).astype(dtype)
-    U0 = jnp.einsum("tf,tqi->iqf", onehot0, geom.tphi1)  # (d1, nqf, nf)
-    U1 = jnp.einsum("tf,tqi->iqf", onehot1, geom.tphi1)
+    # (nqf, d1, nf) per-facet trace tables, elementwise-built and consumed
+    # only by unrolled FMA loops (lane-minor layout survives)
+    U0 = sum(onehot0[t][None, None, :] * geom.tphi1[t][:, :, None] for t in range(6))
+    U1 = sum(onehot1[t][None, None, :] * geom.tphi1[t][:, :, None] for t in range(6))
     msk = interior_mask(geom, 1)  # (nf,)
     wf = geom.wqf[:, None] * geom.flen[None, :]  # (nqf, nf)
     s01 = (-c) * (-0.5 * snq + upw * jnp.abs(snq)) * wf * msk[None, :]
@@ -178,14 +189,26 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     penf = (-c) * alpha * geom.hF_inv * msk  # (nf,)
     nnf = geom.normal[:, None, :] * geom.normal[None, :, :]  # (2, 2, nf)
 
-    K01s = jnp.einsum("iqf,jqf->ijf", U0, U1 * s01[None])
-    K01p = jnp.einsum("iqf,jqf->ijf", U0, U1 * wf[None]) * penf[None, None, :]
+    K01s = sum(
+        U0[q, :, None, :] * (U1[q] * s01[q][None, :])[None, :, :]
+        for q in range(nqf)
+    )
+    K01p = sum(
+        U0[q, :, None, :] * (U1[q] * wf[q][None, :])[None, :, :]
+        for q in range(nqf)
+    ) * penf[None, None, :]
     Bx = (
         jnp.einsum("ab,ijf->aibjf", eye2, K01s)
         + K01p[None, :, None, :, :] * nnf[:, None, :, None, :]
     ).reshape(nu, nu, nf)
-    K10s = jnp.einsum("iqf,jqf->ijf", U1, U0 * s10[None])
-    K10p = jnp.einsum("iqf,jqf->ijf", U1, U0 * wf[None]) * penf[None, None, :]
+    K10s = sum(
+        U1[q, :, None, :] * (U0[q] * s10[q][None, :])[None, :, :]
+        for q in range(nqf)
+    )
+    K10p = sum(
+        U1[q, :, None, :] * (U0[q] * wf[q][None, :])[None, :, :]
+        for q in range(nqf)
+    ) * penf[None, None, :]
     Cx = (
         jnp.einsum("ab,ijf->aibjf", eye2, K10s)
         + K10p[None, :, None, :, :] * nnf[:, None, :, None, :]

@@ -27,21 +27,32 @@ def gauss_jordan_inv_bl(A):
     The input is materialised through an optimization barrier: every pivot
     step reads all of A, and without the barrier XLA fuses (= recomputes)
     A's producer chain into each of the n steps — measured 6x slowdown of
-    the whole operator build.
+    the whole operator build.  The pivot loop runs under ``fori_loop`` so the
+    step body is compiled once, not n times (the unrolled form added tens of
+    seconds of XLA time to the step compile).
     """
     A = jax.lax.optimization_barrier(A)
     n = A.shape[0]
-    for k in range(n):
-        pivot = A[k, k, :]
-        inv_p = 1.0 / pivot
-        row_k = A[k, :, :] * inv_p[None, :]
-        row_k = row_k.at[k, :].set(inv_p)
-        f = A[:, k, :].at[k, :].set(0.0)  # (n, m) multipliers, zero at pivot
+    m = A.shape[2]
+
+    def body(k, A):
+        pivot = jax.lax.dynamic_index_in_dim(A, k, axis=0, keepdims=False)
+        pivot_k = jax.lax.dynamic_index_in_dim(pivot, k, axis=0, keepdims=False)
+        inv_p = 1.0 / pivot_k  # (m,)
+        row_k = pivot * inv_p[None, :]  # (n, m)
+        row_k = jax.lax.dynamic_update_index_in_dim(row_k, inv_p, k, axis=0)
+        col = jax.lax.dynamic_slice_in_dim(A, k, 1, axis=1)[:, 0, :]  # (n, m)
+        f = jax.lax.dynamic_update_index_in_dim(
+            col, jnp.zeros((m,), A.dtype), k, axis=0
+        )
         A = A - f[:, None, :] * row_k[None, :, :]
-        A = A.at[:, k, :].set(-f * inv_p[None, :])
-        A = A.at[k].set(row_k)
-        A = A.at[k, k, :].set(inv_p)
-    return A
+        A = jax.lax.dynamic_update_slice_in_dim(
+            A, (-f * inv_p[None, :])[:, None, :], k, axis=1
+        )
+        new_row = jax.lax.dynamic_update_index_in_dim(row_k, inv_p, k, axis=0)
+        return jax.lax.dynamic_update_index_in_dim(A, new_row, k, axis=0)
+
+    return jax.lax.fori_loop(0, n, body, A)
 
 
 def batched_inv(A, newton_steps=3):

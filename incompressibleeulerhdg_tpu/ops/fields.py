@@ -16,6 +16,13 @@ index — never (nf, nqf, d) table gathers, which tile-pad ~13x in HBM.
 Facet->cell accumulation is expressed as three lane gathers over the
 side-concatenated contribution array (``cfassemble`` index); scatters
 serialize on TPU while lane gathers run at streaming speed.
+
+Contractions between two lane-batched (non-static) operands are written as
+UNROLLED elementwise FMA sums over the small dimension, never einsum: XLA
+lowers such einsums to dot_general with the batch in the minor dim and
+relayouts the operands to 14-17x padded batch-major temporaries (the 512^2
+OOM and a large fraction of the 256^2 step time).  Elementwise ops preserve
+the lane-minor layout and fuse.
 """
 
 import jax.numpy as jnp
@@ -50,9 +57,19 @@ def cell_grads(geom, gphi, u):
 
     Returns (..., 2, nq, nc) with the new axis (before nq) the spatial
     derivative direction: d/dx_a = gradref[..., b] jac_inv[b, a].
+    The jac_inv contraction is a 2-term elementwise sum (einsum between two
+    lane-batched operands triggers XLA's batched-dot relayout path).
     """
     gref = jnp.einsum("qib,...ic->...bqc", gphi, u)
-    return jnp.einsum("...bqc,bac->...aqc", gref, geom.jac_inv)
+    jinv = geom.jac_inv
+    return jnp.stack(
+        [
+            gref[..., 0, :, :] * jinv[0, a][None, :]
+            + gref[..., 1, :, :] * jinv[1, a][None, :]
+            for a in (0, 1)
+        ],
+        axis=-3,
+    )
 
 
 def cell_div(geom, u):
@@ -61,15 +78,35 @@ def cell_div(geom, u):
     return g[0, 0] + g[1, 1]
 
 
-def facet_eval_tables(geom, tphi):
-    """Per-facet trace tables (nd, nqf, nf) for each side, via one-hot sums
-    over the 6 static orientation tables (tphi indexed 2*local + flip)."""
+def _side_onehot(geom, side):
+    """(6, nf) one-hot of the trace-table index (2*local + flip) per facet."""
     dtype = geom.wq.dtype
-    oh0 = (geom.ftab[0][None, :] == jnp.arange(6)[:, None]).astype(dtype)
-    oh1 = (geom.ftab[1][None, :] == jnp.arange(6)[:, None]).astype(dtype)
-    U0 = jnp.einsum("tf,tqi->iqf", oh0, tphi)
-    U1 = jnp.einsum("tf,tqi->iqf", oh1, tphi)
+    return (geom.ftab[side][None, :] == jnp.arange(6)[:, None]).astype(dtype)
+
+
+def facet_eval_tables(geom, tphi):
+    """Per-facet trace tables (nqf, nd, nf) for each side, via one-hot sums
+    over the 6 static orientation tables (tphi indexed 2*local + flip).
+
+    Built by elementwise broadcasts only — consumers contract them with
+    unrolled FMA loops so the lane-minor layout survives.
+    """
+    oh0 = _side_onehot(geom, 0)
+    oh1 = _side_onehot(geom, 1)
+    U0 = sum(oh0[t][None, None, :] * tphi[t][:, :, None] for t in range(6))
+    U1 = sum(oh1[t][None, None, :] * tphi[t][:, :, None] for t in range(6))
     return U0, U1
+
+
+def _eval_side(geom, tphi, u, side):
+    """Trace of a DG field on one facet side: (..., nqf, nf), FMA-unrolled."""
+    oh = _side_onehot(geom, side)
+    ug = u[..., geom.fcells[side]]  # (..., nd, nf)
+    nd = tphi.shape[2]
+    U = sum(oh[t][None, None, :] * tphi[t][:, :, None] for t in range(6))
+    return sum(
+        U[:, i, :] * ug[..., i, None, :] for i in range(nd)
+    )
 
 
 def facet_traces(geom, tphi, u):
@@ -79,18 +116,12 @@ def facet_traces(geom, tphi, u):
     minus trace is garbage (clamped gather) — callers must mask it out with
     :func:`interior_mask`.
     """
-    U0, U1 = facet_eval_tables(geom, tphi)
-    u0 = jnp.einsum("iqf,...if->...qf", U0, u[..., geom.fcells[0]])
-    u1 = jnp.einsum("iqf,...if->...qf", U1, u[..., geom.fcells[1]])
-    return u0, u1
+    return _eval_side(geom, tphi, u, 0), _eval_side(geom, tphi, u, 1)
 
 
 def facet_trace_plus(geom, tphi, u):
     """Plus-side trace only: (..., nqf, nf)."""
-    dtype = geom.wq.dtype
-    oh0 = (geom.ftab[0][None, :] == jnp.arange(6)[:, None]).astype(dtype)
-    U0 = jnp.einsum("tf,tqi->iqf", oh0, tphi)
-    return jnp.einsum("iqf,...if->...qf", U0, u[..., geom.fcells[0]])
+    return _eval_side(geom, tphi, u, 0)
 
 
 def trace_values(geom, lam):
@@ -120,6 +151,18 @@ def gather_facet_contribs(geom, c0, c1):
     return out
 
 
+def _adjoint_side(geom, tphi, g, side):
+    """Integrate an integrand against one side's trace basis: (..., nd, nf)."""
+    oh = _side_onehot(geom, side)
+    nd = tphi.shape[2]
+    w = geom.wqf[:, None] * geom.flen[None, :]  # (nqf, nf)
+    U = sum(oh[t][None, None, :] * tphi[t][:, :, None] for t in range(6))
+    wg = w * g  # (..., nqf, nf)
+    return jnp.stack(
+        [jnp.sum(U[:, i, :] * wg, axis=-2) for i in range(nd)], axis=-2
+    )
+
+
 def scatter_facets(geom, tphi, g0, g1):
     """Adjoint of facet trace evaluation: accumulate facet integrands into cells.
 
@@ -128,11 +171,9 @@ def scatter_facets(geom, tphi, g0, g1):
     :arg g0/g1: integrand multiplying the test function's plus/minus trace,
         shape (..., nqf, nf).  g1 is masked to interior facets internally.
     """
-    U0, U1 = facet_eval_tables(geom, tphi)
-    w = geom.wqf[:, None] * geom.flen[None, :]  # (nqf, nf)
-    c0 = jnp.einsum("qf,iqf,...qf->...if", w, U0, g0)
+    c0 = _adjoint_side(geom, tphi, g0, 0)
     g1 = g1 * interior_mask(geom, g1.ndim)
-    c1 = jnp.einsum("qf,iqf,...qf->...if", w, U1, g1)
+    c1 = _adjoint_side(geom, tphi, g1, 1)
     return gather_facet_contribs(geom, c0, c1)
 
 

@@ -46,6 +46,13 @@ __all__ = [
 ]
 
 
+def _dot_normal(geom, v):
+    """v[..., a, q, f] . n[a, f] -> (..., q, f): 2-term elementwise sum (an
+    einsum here triggers XLA's batched-dot relayout path)."""
+    n = geom.normal
+    return v[..., 0, :, :] * n[0][None, :] + v[..., 1, :, :] * n[1][None, :]
+
+
 def star_fields(geom, Qstar):
     """Precompute the advecting-velocity fields used by ``f_impl``.
 
@@ -55,7 +62,7 @@ def star_fields(geom, Qstar):
     Cell-quadrature values are recomputed on demand by consumers.
     """
     q0 = facet_trace_plus(geom, geom.tphi1, Qstar)  # (2, nqf, nf)
-    qn = jnp.einsum("aqf,af->qf", q0, geom.normal)
+    qn = _dot_normal(geom, q0)
     return Qstar, qn
 
 
@@ -64,9 +71,17 @@ def _convect(geom, star_q, u):
 
     conv[a] = star_d du_a/dx_d with du_a/dx_d = gphi[q,j,b] jinv[b,d] u[a,j].
     """
-    R = jnp.einsum("bdc,dqc->bqc", geom.jac_inv, star_q)  # (2=b, nq, nc)
-    GP = jnp.einsum("qjb,bqc->jqc", geom.gphi1, R)
-    return jnp.einsum("jqc,ajc->aqc", GP, u)
+    jinv = geom.jac_inv
+    R = jnp.stack(
+        [
+            jinv[b, 0][None, :] * star_q[0] + jinv[b, 1][None, :] * star_q[1]
+            for b in (0, 1)
+        ]
+    )  # (2=b, nq, nc)
+    gphi = geom.gphi1  # (nq, d1, 2) static
+    GP = sum(gphi[:, :, b].T[:, :, None] * R[b][None, :, :] for b in (0, 1))
+    d1 = u.shape[-2]
+    return sum(GP[j][None, :, :] * u[..., j, None, :] for j in range(d1))
 
 
 def f_impl_apply(geom, star, u, alpha=1.0, upwind=True):
@@ -89,7 +104,7 @@ def f_impl_apply(geom, star, u, alpha=1.0, upwind=True):
     u0, u1 = facet_traces(geom, geom.tphi1, u)  # (2, nqf, nf)
     mask = interior_mask(geom, 3)
     jump = (u0 - u1) * mask
-    jn = jnp.einsum("aqf,af->qf", jump, geom.normal)
+    jn = _dot_normal(geom, jump)
     nrm = geom.normal[:, None, :]  # (2, 1, nf)
     hinv = geom.hF_inv[None, :]
 
@@ -104,7 +119,7 @@ def f_impl_apply(geom, star, u, alpha=1.0, upwind=True):
         g0 = g0 - upw
         g1 = g1 + upw
     # boundary: -alpha (1/h)(u.n)(w.n) on the plus side
-    u0n = jnp.einsum("aqf,af->qf", u0, geom.normal)
+    u0n = _dot_normal(geom, u0)
     bnd = -(alpha * hinv * u0n)[None] * nrm * (1.0 - mask)
     g0 = g0 + bnd
     return r + scatter_facets(geom, geom.tphi1, g0, g1)
@@ -116,7 +131,13 @@ def _div_test_coeffs(geom, scalar_q):
     (nq, nc) -> (2, d1, nc):  d phi_i/dx_a = gphi[q,i,b] jinv[b,a].
     """
     t = jnp.einsum("q,qib,qc->ibc", geom.wq, geom.gphi1, scalar_q)
-    return jnp.einsum("ibc,bac,c->aic", t, geom.jac_inv, geom.det_jac)
+    jinv = geom.jac_inv
+    return geom.det_jac * jnp.stack(
+        [
+            t[:, 0, :] * jinv[0, a][None, :] + t[:, 1, :] * jinv[1, a][None, :]
+            for a in (0, 1)
+        ]
+    )
 
 
 def pressure_gradient_apply(geom, p, lam):
@@ -172,8 +193,8 @@ def gamma_apply(geom, u, p, lam, tau=1.0):
     rp = rp + scatter_facets(geom, geom.tphi0, g0, g1)
 
     # mu-rows
-    un0 = jnp.einsum("aqf,af->qf", u0, geom.normal)
-    un1 = jnp.einsum("aqf,af->qf", u1, geom.normal)
+    un0 = _dot_normal(geom, u0)
+    un1 = _dot_normal(geom, u1)
     interior = (un0 - un1) + tau * (p0 + p1 - 2.0 * lam_q)
     boundary = un0 + tau * (p0 - lam_q)
     rl = facet_integrate_trace(geom, jnp.where(mask > 0, interior, boundary))
@@ -201,8 +222,8 @@ def weak_divergence_apply(geom, Q):
     """psi-row coefficients of ``_weak_divergence(psi, Q)`` for a DG velocity Q."""
     divq = cell_div(geom, Q)
     Q0, Q1 = facet_traces(geom, geom.tphi1, Q)
-    Qn0 = jnp.einsum("aqf,af->qf", Q0, geom.normal)
-    Qn1 = jnp.einsum("aqf,af->qf", Q1, geom.normal)
+    Qn0 = _dot_normal(geom, Q0)
+    Qn1 = _dot_normal(geom, Q1)
     return weak_divergence_values(geom, divq, Qn0, Qn1)
 
 
@@ -226,8 +247,8 @@ def reconstruct_trace_rhs(geom, Q, p, tau=1.0):
     """
     Q0, Q1 = facet_traces(geom, geom.tphi1, Q)
     p0, p1 = facet_traces(geom, geom.tphi0, p)
-    un0 = jnp.einsum("aqf,af->qf", Q0, geom.normal)
-    un1 = jnp.einsum("aqf,af->qf", Q1, geom.normal)
+    un0 = _dot_normal(geom, Q0)
+    un1 = _dot_normal(geom, Q1)
     mask = interior_mask(geom)
     interior = (un0 - un1) + tau * (p0 + p1)
     boundary = un0 + tau * p0

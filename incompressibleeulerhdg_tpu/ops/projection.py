@@ -173,15 +173,21 @@ def project_bdm(geom, proj, Q):
     #     DirichletBC((0,0), "on_boundary") of the reference)
     Q0, Q1 = facet_traces(geom, geom.tphi1, Q)  # (2, nqf, nf)
     mask = interior_mask(geom, 1)
-    avg_n = 0.5 * jnp.einsum("aqf,af->qf", Q0 + Q1, geom.normal) * mask[None, :]
+    n = geom.normal
+    qsum = Q0 + Q1
+    avg_n = 0.5 * (qsum[0] * n[0][None, :] + qsum[1] * n[1][None, :]) * mask[None, :]
     w = geom.wqf[:, None] * geom.flen[None, :]
     m_f = jnp.einsum("qf,qm,qf->mf", w, proj.leg, avg_n)  # (nm, nf)
 
     # (2) interior Nedelec moments: im[j, c] = det wq Q_a jinv[b, a] vhat[j, b]
     if proj.n_interior_dofs > 0:
         Qq = cell_values(geom.phi1, Q)  # (2, nq, nc)
-        V = jnp.einsum("bac,aqc->bqc", geom.jac_inv, Qq)
-        im = geom.det_jac * jnp.einsum("q,jqb,bqc->jc", geom.wq, proj.vhat, V)
+        jinv = geom.jac_inv
+        im = 0.0
+        for b in (0, 1):
+            Vb = jinv[b, 0][None, :] * Qq[0] + jinv[b, 1][None, :] * Qq[1]
+            im = im + jnp.einsum("q,jq,qc->jc", geom.wq, proj.vhat[:, :, b], Vb)
+        im = geom.det_jac * im
     else:
         im = jnp.zeros((0, geom.n_cells), dtype=Q.dtype)
 

@@ -27,13 +27,32 @@ def facet_grad_traces(geom, u):
     assembled from the 6 static tables by one-hot sums over ``ftab``.
     """
     dtype = geom.wq.dtype
+    d1 = geom.d1
     out = []
     for side in (0, 1):
         oh = (geom.ftab[side][None, :] == jnp.arange(6)[:, None]).astype(dtype)
-        T = jnp.einsum("tf,tqib->iqbf", oh, geom.tgphi1)  # (d1, nqf, 2, nf)
         c = geom.fcells[side]
-        gref = jnp.einsum("iqbf,...if->...bqf", T, u[..., c])
-        out.append(jnp.einsum("...bqf,baf->...aqf", gref, geom.jac_inv[:, :, c]))
+        ug = u[..., c]  # (..., d1, nf)
+        jinv = geom.jac_inv[:, :, c]  # (2=b, 2=a, nf)
+        # per-b reference-gradient traces, then the 2-term jac_inv
+        # contraction — all elementwise FMAs (lane-batched einsums relayout)
+        gref = []
+        for b in (0, 1):
+            Ub = sum(
+                oh[t][None, None, :] * geom.tgphi1[t, :, :, b][:, :, None]
+                for t in range(6)
+            )  # (nqf, d1, nf)
+            gref.append(
+                sum(Ub[:, i, :] * ug[..., i, None, :] for i in range(d1))
+            )
+        phys = jnp.stack(
+            [
+                gref[0] * jinv[0, a][None, :] + gref[1] * jinv[1, a][None, :]
+                for a in (0, 1)
+            ],
+            axis=-3,
+        )
+        out.append(phys)
     return out[0], out[1]
 
 
@@ -45,7 +64,7 @@ def convective_term(geom, Q):
     """
     gQ = F.cell_grads(geom, geom.gphi1, Q)  # (2 comp a, 2 deriv d, nq, nc)
     Qq = F.cell_values(geom.phi1, Q)  # (2, nq, nc)
-    return jnp.einsum("adqc,dqc->aqc", gQ, Qq)
+    return jnp.stack([gQ[a, 0] * Qq[0] + gQ[a, 1] * Qq[1] for a in (0, 1)])
 
 
 def pressure_reconstruction_rhs(geom, Q, f_nodal):
@@ -60,25 +79,35 @@ def pressure_reconstruction_rhs(geom, Q, f_nodal):
     Qq = F.cell_values(geom.phi1, Q)  # (2, nq, nc)
     # reference Hessian contraction: d_d d_e Q_a = hphi[q,i,b,f] jinv[b,d] jinv[f,e] Q[a,i]
     href = jnp.einsum("qibf,aic->abfqc", geom.hphi1, Q)  # (a, b, f, nq, nc)
-    hphys = jnp.einsum("abfqc,bdc,fec->adeqc", href, geom.jac_inv, geom.jac_inv)
-    # div((grad Q) Q) = (d_b d_a Q_a) Q_b + (d_b Q_a)(d_a Q_b)
-    term1 = jnp.einsum("aabqc,bqc->qc", hphys, Qq)
-    term2 = jnp.einsum("adqc,daqc->qc", gQ, gQ)
+    jinv = geom.jac_inv
+    # d_d d_e Q_a = href[a, b, f] jinv[b, d] jinv[f, e]: unrolled 2x2
+    # elementwise contractions (lane-batched einsums relayout on TPU);
+    # div((grad Q) Q) = (d_a d_b Q_a) Q_b + (d_b Q_a)(d_a Q_b)
+    def hp(a, d, e):
+        return sum(
+            href[a, b, f] * (jinv[b, d] * jinv[f, e])[None, :]
+            for b in (0, 1)
+            for f in (0, 1)
+        )
+
+    term1 = sum(hp(a, a, b) * Qq[b] for a in (0, 1) for b in (0, 1))
+    term2 = sum(gQ[a, d] * gQ[d, a] for a in (0, 1) for d in (0, 1))
     divG = -F.cell_div(geom, f_nodal) + term1 + term2
 
     # --- facet normal traces of G ----------------------------------------
     f0, f1 = F.facet_traces(geom, geom.tphi1, f_nodal)  # (2, nqf, nf)
     Q0, Q1 = F.facet_traces(geom, geom.tphi1, Q)
     g0, g1 = facet_grad_traces(geom, Q)  # (2 a, 2 d, nqf, nf)
-    G0 = jnp.einsum("adqf,dqf->aqf", g0, Q0) - f0
-    G1 = jnp.einsum("adqf,dqf->aqf", g1, Q1) - f1
-    Gn0 = jnp.einsum("aqf,af->qf", G0, geom.normal)
-    Gn1 = jnp.einsum("aqf,af->qf", G1, geom.normal)
+    G0 = jnp.stack([g0[a, 0] * Q0[0] + g0[a, 1] * Q0[1] for a in (0, 1)]) - f0
+    G1 = jnp.stack([g1[a, 0] * Q1[0] + g1[a, 1] * Q1[1] for a in (0, 1)]) - f1
+    n = geom.normal
+    Gn0 = G0[0] * n[0][None, :] + G0[1] * n[1][None, :]
+    Gn1 = G1[0] * n[0][None, :] + G1[1] * n[1][None, :]
 
     f_p = weak_divergence_values(geom, divG, Gn0, Gn1)
 
     # --- boundary mu-row: -mu (n . f) ds ---------------------------------
-    fn0 = jnp.einsum("aqf,af->qf", f0, geom.normal)
+    fn0 = f0[0] * geom.normal[0][None, :] + f0[1] * geom.normal[1][None, :]
     bnd = 1.0 - F.interior_mask(geom)
     f_lam = -F.facet_integrate_trace(geom, fn0 * bnd)
     return f_p, f_lam

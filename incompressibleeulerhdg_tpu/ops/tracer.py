@@ -35,16 +35,23 @@ def tracer_advection_apply(geom, q, u):
     q_q = F.cell_values(geom.phi0, q)  # (nq, nc)
     u_q = F.cell_values(geom.phi1, u)  # (2, nq, nc)
     divu = F.cell_div(geom, u)  # (nq, nc)
-    # int q u_a dchi_i/dx_a: t[i, b, c] = wq gphi0[q,i,b] (q u_a jinv[b,a])[q,c]
-    ua_j = jnp.einsum("bac,aqc->bqc", geom.jac_inv, u_q)
-    r = jnp.einsum("c,q,qib,qc,bqc->ic", geom.det_jac, geom.wq, geom.gphi0, q_q, ua_j)
+    # int q u_a dchi_i/dx_a: per reference-gradient direction b, a static
+    # GEMM against (wq-weighted) q * (jinv u) -- the jinv contraction is a
+    # 2-term elementwise sum (lane-batched einsums relayout on TPU)
+    jinv = geom.jac_inv
+    r = 0.0
+    for b in (0, 1):
+        ua_b = jinv[b, 0][None, :] * u_q[0] + jinv[b, 1][None, :] * u_q[1]
+        r = r + jnp.einsum("q,qi,qc->ic", geom.wq, geom.gphi0[:, :, b], q_q * ua_b)
+    r = geom.det_jac * r
     r = r + F.cell_integrate(geom, geom.phi0, q_q * divu)
 
     # facet: -(chi+ - chi-)(un+ q+ - un- q-), interior only
     q0, q1 = F.facet_traces(geom, geom.tphi0, q)
     u0, u1 = F.facet_traces(geom, geom.tphi1, u)
-    un0 = jnp.einsum("aqf,af->qf", u0, geom.normal)
-    un1 = -jnp.einsum("aqf,af->qf", u1, geom.normal)  # minus side outward normal
+    n = geom.normal
+    un0 = u0[0] * n[0][None, :] + u0[1] * n[1][None, :]
+    un1 = -(u1[0] * n[0][None, :] + u1[1] * n[1][None, :])  # minus side outward
     up0 = 0.5 * (un0 + jnp.abs(un0))
     up1 = 0.5 * (un1 + jnp.abs(un1))
     flux = (up0 * q0 - up1 * q1) * F.interior_mask(geom)

@@ -162,43 +162,55 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 m = F.integral(geom, geom.phi0, p) / vol
                 return p - m, lam - m
 
-            its_tent, its_p, relres_list = [], [], []
-            stage_Q, stage_p, stage_lam = list(stage_Q), list(stage_p), list(stage_lam)
             def interp_velocity(fn):
                 x = geom.xnodes1  # (2, d1, nc)
                 fx, fy = fn(x[0], x[1])
                 return jnp.stack(jnp.broadcast_arrays(fx, fy), axis=0).astype(out_dtype)
 
-            # forcing at stage times (hdg_imex.py:554-557) and mass-weighted
-            # stage velocities, both computed on demand: retaining 2s
-            # (nc, d1, 2) buffers costs ~1-4 GB each in padded HBM layout,
-            # and recomputation is a cheap fused einsum
-            def Mb(j):
-                return mass(interp_velocity(f_rhs_fn(tn + c_expl[j] * dt)))
+            # stacked stage state (s, ...): the stage loop runs under
+            # lax.scan so the stage body (operator build + two nested Krylov
+            # solves) is traced and XLA-compiled ONCE instead of s-1 times —
+            # the unrolled form dominated the multi-minute warmup compile
+            SQ = jnp.stack(stage_Q)
+            SP = jnp.stack(stage_p)
+            SL = jnp.stack(stage_lam)
+            # forcing at all stage times (hdg_imex.py:554-557); batch-last
+            # fields are ~exact in HBM so stacking s of them is cheap
+            b_all = jnp.stack(
+                [interp_velocity(f_rhs_fn(tn + c_expl[j] * dt)) for j in range(s)]
+            )
+            QS = (
+                jnp.concatenate([q_tracer[None], jnp.zeros((s - 1,) + q_tracer.shape, q_tracer.dtype)])
+                if with_tracer
+                else None
+            )
 
-            def MQ(j):
-                return mass(stage_Q[j])
+            alpha_m = jnp.asarray(alpha, dtype=out_dtype)  # (s, s)
+            beta_m = jnp.asarray(beta, dtype=out_dtype)
+            aexp_m = jnp.asarray(a_expl_t, dtype=out_dtype)
+            aii = jnp.asarray([a_impl[i][i] for i in range(s)], dtype=out_dtype)
 
-            q_stages = [q_tracer] if with_tracer else None
-
-            for i in range(1, s):
-                c = a_impl[i][i] * dt
-                Qstar = project_bdm(geom, proj, stage_Q[i - 1])
+            def stage_body(carry, xs):
+                SQ, SP, SL, QS = carry
+                i, alpha_row, beta_row, c = xs  # i, coefficients of stage i
+                Qprev = jax.lax.dynamic_index_in_dim(SQ, i - 1, 0, keepdims=False)
+                Qstar = project_bdm(geom, proj, Qprev)
                 star = star_fields(geom, Qstar)
-                # unrolled residual r_i (hdg_imex.py:367-391)
-                r_i = sum(alpha[i][j] * MQ(j) for j in range(i) if alpha[i][j] != 0)
-                r_i = r_i + sum(
-                    dt * beta[i][j] * Mb(j) for j in range(i) if beta[i][j] != 0
+                # unrolled residual r_i (hdg_imex.py:367-391); mass is linear
+                # so one application covers the whole weighted sum
+                r_i = mass(
+                    jnp.einsum("s,s...->...", alpha_row, SQ)
+                    + dt * jnp.einsum("s,s...->...", beta_row, b_all)
                 )
-                Q_i, p_i, lam_i = stage_Q[i], stage_p[i], stage_lam[i]
+                Q_i = jax.lax.dynamic_index_in_dim(SQ, i, 0, keepdims=False)
+                p_i = jax.lax.dynamic_index_in_dim(SP, i, 0, keepdims=False)
+                lam_i = jax.lax.dynamic_index_in_dim(SL, i, 0, keepdims=False)
                 if projection:
                     t_op = build_tentative_operator(geom, star, c, pen, upwind)
 
-                    def richardson_sweep(carry, _, r_i=r_i, c=c, star=star, t_op=t_op):
-                        """One Richardson iteration (hdg_imex.py:568-599); run
-                        under lax.scan so the body (two nested Krylov solves)
-                        is traced/compiled once instead of n_richardson times."""
-                        Q_i, p_i, lam_i = carry
+                    def richardson_sweep(rc, _):
+                        """One Richardson iteration (hdg_imex.py:568-599)."""
+                        Q_i, p_i, lam_i = rc
                         # tentative rhs (hdg_imex.py:239-247)
                         b_tent = (
                             r_i
@@ -233,9 +245,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     (Q_i, p_i, lam_i), (n_ts, n_ps, rr_ts, rr_ps) = jax.lax.scan(
                         richardson_sweep, (Q_i, p_i, lam_i), None, length=n_rich
                     )
-                    its_tent.append(n_ts)  # (n_rich,) arrays
-                    its_p.append(n_ps)
-                    relres_list.append(jnp.maximum(jnp.max(rr_ts), jnp.max(rr_ps)))
+                    relres = jnp.maximum(jnp.max(rr_ts), jnp.max(rr_ps))
                 else:
                     Q_i, p_i, lam_i, n_t, n_p = monolithic_stage_solve(
                         geom,
@@ -249,27 +259,46 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                         x0=(Q_i, p_i, lam_i),
                         precond=precond,
                     )
-                    its_tent.append(n_t)
-                    its_p.append(n_p)
+                    n_ts, n_ps = jnp.atleast_1d(n_t), jnp.atleast_1d(n_p)
+                    relres = jnp.asarray(0.0, out_dtype)
                 p_i, lam_i = shift(p_i, lam_i)  # hdg_imex.py:621
-                stage_Q[i], stage_p[i], stage_lam[i] = Q_i, p_i, lam_i
-                if q_stages is not None:
+                SQ = jax.lax.dynamic_update_index_in_dim(SQ, Q_i, i, 0)
+                SP = jax.lax.dynamic_update_index_in_dim(SP, p_i, i, 0)
+                SL = jax.lax.dynamic_update_index_in_dim(SL, lam_i, i, 0)
+                if with_tracer:
                     # tracer stage solve (hdg_imex.py:415-432,623); the
                     # advecting stage velocity is CG-projected first
-                    # (project_onto_cg=True, hdg_imex.py:426-431)
+                    # (project_onto_cg=True, hdg_imex.py:426-431); the
+                    # advection form is linear in q, so the explicit-tableau
+                    # sum collapses to one application
                     u_adv = cg_project_velocity(geom, cg, Q_i)
-                    b_q = F.mass_apply(geom, geom.m0, q_stages[0])
-                    for j in range(i):
-                        if a_expl_t[i][j] != 0:
-                            b_q = b_q + dt * a_expl_t[i][j] * tracer_advection_apply(
-                                geom, q_stages[j], u_adv
-                            )
-                    q_stages.append(F.mass_solve(geom, geom.m0inv, b_q))
+                    aexp_row = aexp_m[i]
+                    q_comb = jnp.einsum("s,s...->...", aexp_row, QS)
+                    b_q = F.mass_apply(geom, geom.m0, QS[0])
+                    b_q = b_q + dt * tracer_advection_apply(geom, q_comb, u_adv)
+                    q_i = F.mass_solve(geom, geom.m0inv, b_q)
+                    QS = jax.lax.dynamic_update_index_in_dim(QS, q_i, i, 0)
+                return (SQ, SP, SL, QS), (n_ts, n_ps, relres)
+
+            xs = (
+                jnp.arange(1, s),
+                alpha_m[1:],
+                beta_m[1:],
+                dt * aii[1:],
+            )
+            (SQ, SP, SL, QS), (n_ts_all, n_ps_all, relres_stages) = jax.lax.scan(
+                stage_body, (SQ, SP, SL, QS), xs
+            )
+            stage_Q = [SQ[i] for i in range(s)]
+            stage_p = [SP[i] for i in range(s)]
+            stage_lam = [SL[i] for i in range(s)]
 
             # final stage mixed solve (hdg_imex.py:190-198,624)
-            r_fin = sum(alpha_f[j] * MQ(j) for j in range(s) if alpha_f[j] != 0)
-            r_fin = r_fin + sum(
-                dt * beta_f[j] * Mb(j) for j in range(s) if beta_f[j] != 0
+            alpha_fv = jnp.asarray(alpha_f, dtype=out_dtype)
+            beta_fv = jnp.asarray(beta_f, dtype=out_dtype)
+            r_fin = mass(
+                jnp.einsum("s,s...->...", alpha_fv, SQ)
+                + dt * jnp.einsum("s,s...->...", beta_fv, b_all)
             )
             Q_new, p_new, lam_new, n_fp, rr_fp = pressure_solve(
                 geom,
@@ -290,26 +319,39 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             )
             p_new, lam_new = shift(p_new, lam_new)  # hdg_imex.py:637
 
-            # tracer final solve (hdg_imex.py:434-448,638-639)
+            # tracer final solve (hdg_imex.py:434-448,638-639): the advecting
+            # velocity differs per stage (each CG-projected), so scan over
+            # stages accumulating the explicit-tableau flux sum
             q_new = None
-            if q_stages is not None:
-                b_q = F.mass_apply(geom, geom.m0, q_stages[0])
-                for i in range(s):
-                    if b_expl_t[i] != 0:
-                        b_q = b_q + dt * b_expl_t[i] * tracer_advection_apply(
-                            geom, q_stages[i],
-                            cg_project_velocity(geom, cg, stage_Q[i]),
-                        )
+            if with_tracer:
+                b_exp_v = jnp.asarray(b_expl_t, dtype=out_dtype)
+
+                def tracer_final_body(acc, xs):
+                    w, q_i, Q_i = xs
+                    u_adv = cg_project_velocity(geom, cg, Q_i)
+                    return (
+                        acc + dt * w * tracer_advection_apply(geom, q_i, u_adv),
+                        None,
+                    )
+
+                b_q, _ = jax.lax.scan(
+                    tracer_final_body,
+                    F.mass_apply(geom, geom.m0, QS[0]),
+                    (b_exp_v, QS, SQ),
+                )
                 q_new = F.mass_solve(geom, geom.m0inv, b_q)
 
             stage_Q[0], stage_p[0], stage_lam[0] = Q_new, p_new, lam_new
-            relres_list += [rr_fp, rr_pr]
             counts = dict(
-                tentative=jnp.concatenate([jnp.atleast_1d(x) for x in its_tent]),
-                pressure=jnp.concatenate([jnp.atleast_1d(x) for x in its_p]),
+                tentative=n_ts_all.ravel(),
+                pressure=n_ps_all.ravel(),
                 final_pressure=n_fp,
                 reconstruction=n_pr,
-                max_relres=jnp.max(jnp.stack(relres_list)),
+                max_relres=jnp.max(
+                    jnp.concatenate(
+                        [relres_stages.ravel(), jnp.stack([rr_fp, rr_pr])]
+                    )
+                ),
             )
             return stage_Q, stage_p, stage_lam, q_new, counts
 
@@ -359,11 +401,37 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         )
         return jnp.einsum("ij,jf->if", geom.mtinv, rhs) / (fac * geom.flen)[None, :]
 
-    def solve(self, Q_initial, p_initial, q_initial, f_rhs, T_final, warmup=False):
-        """Timestepping loop (hdg_imex.py:505-660)."""
+    def solve(
+        self,
+        Q_initial,
+        p_initial,
+        q_initial,
+        f_rhs,
+        T_final,
+        warmup=False,
+        checkpoint_every=0,
+        checkpoint_path="checkpoint.npz",
+        resume=False,
+    ):
+        """Timestepping loop (hdg_imex.py:505-660).
+
+        :arg checkpoint_every: save the full stage state every N steps
+            (0 = off); the reference has no checkpointing (SURVEY.md
+            section 5.4) — this exceeds parity
+        :arg resume: load ``checkpoint_path`` (validated against this run's
+            mesh/scheme/dt) and continue from its step
+        """
         geom = self.geom
         s = self.nstages
         nt = self.get_timesteps(T_final, warmup)
+        ck_config = {
+            "scheme": self.tableau_name,
+            "n_cells": int(geom.n_cells),
+            "degree": int(self.degree),
+            "dt": float(self._dt),
+            "n_richardson": int(self.n_richardson),
+            "projection": bool(self.use_projection_method),
+        }
 
         @jax.jit
         def _init():
@@ -386,6 +454,20 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         stage_p = [p0] + [zerop] * (s - 1)
         stage_lam = [lam0] + [zerol] * (s - 1)
 
+        k_start = 0
+        if resume:
+            from ..utils.checkpoint import load_checkpoint
+
+            state, t_ck, _ = load_checkpoint(checkpoint_path, expect_config=ck_config)
+            dtype = self.disc.dtype
+            stage_Q = [jnp.asarray(a, dtype) for a in state["stage_Q"]]
+            stage_p = [jnp.asarray(a, dtype) for a in state["stage_p"]]
+            stage_lam = [jnp.asarray(a, dtype) for a in state["stage_lam"]]
+            if state.get("q_tracer") is not None and q_tracer is not None:
+                q_tracer = jnp.asarray(state["q_tracer"], dtype)
+            k_start = int(round(t_ck / self._dt))
+            print(f"resumed from {checkpoint_path} at t = {t_ck} (step {k_start})")
+
         for av in (
             self.niter_tentative,
             self.niter_pressure,
@@ -401,7 +483,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         step_fn = self._get_step(f_rhs, q_tracer is not None)
         dummy_q = q_tracer if q_tracer is not None else zerop
         cg = self.tracer_cg_space() if q_tracer is not None else None
-        for k in tqdm.tqdm(range(nt)):
+        for k in tqdm.tqdm(range(k_start, nt)):
             with PerformanceLog("timestep"):
                 tn = jnp.asarray(k * self._dt, dtype=self.disc.dtype)
                 stage_Q, stage_p, stage_lam, q_new, counts = step_fn(
@@ -419,6 +501,20 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             self.niter_pressure_reconstruction.update(int(counts["reconstruction"]))
             if "max_relres" in counts:
                 self.max_relres = max(self.max_relres, float(counts["max_relres"]))
+            if checkpoint_every and (k + 1) % checkpoint_every == 0:
+                from ..utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path,
+                    {
+                        "stage_Q": [np.asarray(a) for a in stage_Q],
+                        "stage_p": [np.asarray(a) for a in stage_p],
+                        "stage_lam": [np.asarray(a) for a in stage_lam],
+                        "q_tracer": None if q_tracer is None else np.asarray(q_tracer),
+                    },
+                    t=(k + 1) * self._dt,
+                    config=ck_config,
+                )
             for callback in self.callbacks:
                 callback(stage_Q[0], stage_p[0], tn + self._dt, q_tracer=q_tracer)
 

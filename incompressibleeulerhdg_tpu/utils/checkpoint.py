@@ -29,6 +29,8 @@ def save_checkpoint(path, state, t, config=None):
     arrays = {}
     meta = {"version": _FORMAT_VERSION, "t": float(t), "keys": {}, "config": config or {}}
     for name, value in state.items():
+        if value is None:
+            continue
         if isinstance(value, (list, tuple)):
             meta["keys"][name] = len(value)
             for i, v in enumerate(value):

@@ -103,8 +103,39 @@ def test_imex_tracer_advects_with_cg_projected_velocity(monkeypatch):
         return real_cg(geom, cg, u)
 
     run(spy)
-    # SSP2(3,3,2): 2 stage projections + up to 3 final-stage projections
-    assert len(calls) >= 3, len(calls)
+    # the stage bodies and the final tracer flux run under lax.scan, so the
+    # projection is traced once per scan body — at least twice overall
+    assert len(calls) >= 2, len(calls)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """Interrupt at step k via checkpointing, resume, and land on exactly the
+    state of an uninterrupted run (VERDICT round 1, item 10)."""
+    ck = str(tmp_path / "state.npz")
+    disc = HDGDiscretisation(unit_square_mesh(4), 1)
+    problem = TaylorGreen(disc)
+    Q0e, p0e = problem.initial_condition()
+
+    st_full = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    Q_ref, p_ref = st_full.solve(Q0e, p0e, None, problem.f_rhs(), 0.4)
+
+    st_a = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    st_a.solve(
+        Q0e, p0e, None, problem.f_rhs(), 0.2, checkpoint_every=1, checkpoint_path=ck
+    )
+    st_b = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    Q2, p2 = st_b.solve(
+        Q0e, p0e, None, problem.f_rhs(), 0.4, checkpoint_path=ck, resume=True
+    )
+    assert float(jnp.abs(Q2 - Q_ref).max()) < 1e-12
+    assert float(jnp.abs(p2 - p_ref).max()) < 1e-12
+
+    # config mismatch must refuse to resume
+    st_c = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.05)
+    with pytest.raises(ValueError):
+        st_c.solve(
+            Q0e, p0e, None, problem.f_rhs(), 0.4, checkpoint_path=ck, resume=True
+        )
 
 
 def test_pressure_solve_reports_stall():

