@@ -23,7 +23,10 @@ import time
 
 import numpy as np
 
-REFERENCE_BASELINE_SECONDS = 60.0  # estimated; see BASELINE.md
+# estimated reference cost at the canonical 256^2 k=2 configuration (see
+# BASELINE.md); scaled by cell count for other mesh sizes (the reference's
+# per-step work is at least linear in cells)
+REFERENCE_BASELINE_SECONDS_256 = 60.0
 
 
 def main():
@@ -113,13 +116,14 @@ def main():
         file=sys.stderr,
     )
 
+    baseline = REFERENCE_BASELINE_SECONDS_256 * (nx / 256.0) ** 2
     print(
         json.dumps(
             {
                 "metric": f"wall-clock per HDG IMEX SSP2 timestep, {nx}x{nx} mesh, k={degree}",
                 "value": per_step,
                 "unit": "s/timestep",
-                "vs_baseline": REFERENCE_BASELINE_SECONDS / per_step,
+                "vs_baseline": baseline / per_step,
             }
         )
     )

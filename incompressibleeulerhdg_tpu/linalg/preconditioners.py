@@ -71,6 +71,8 @@ class TentativeOperator:
     Dinv: jnp.ndarray  # (nu, nu, nc)
     Sinv: jnp.ndarray  # (nu, nu, nf) patch Schur inverses
     Dinv0: jnp.ndarray  # (nu, nu, nf) Dinv gathered to each facet's plus cell
+    # (stored: gathering 400-element columns per application runs at
+    # per-element DRAM speed — measured 183 ms per gather at 512^2)
 
 
 def _bm(A, x):
@@ -95,7 +97,7 @@ def _bmm(A, B):
     return out
 
 
-def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
+def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=None):
     """Assemble blocks + facet-pair Schwarz factors per stage, batch-last.
 
     The 2x2 cell-block patch  [[D_plus, -c K01], [-c K10, D_minus]]  is
@@ -220,12 +222,28 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True):
     # ------------------------------------------------------------------
     # patch Schur factors  S = D_minus - Cx Dinv_plus Bx
     # ------------------------------------------------------------------
-    Dinv0 = jax.lax.optimization_barrier(Dinv_bl[:, :, geom.fcells[0]])
-    D1 = D_bl[:, :, geom.fcells[1]]
-    Sc = D1 - _bmm(Cx, _bmm(Dinv0, Bx))
+    # chunked over facets: the unchunked chain holds D1, two _bmm
+    # temporaries, Sc and Sinv live simultaneously (~7 GB at 512^2, the
+    # single-chip OOM margin); per-chunk temporaries are freed eagerly.
+    # pc_dtype (bf16 on the f32 fast path) halves the STORED factors — they
+    # only steer the preconditioner, convergence is judged on the f32 matvec.
     eye = jnp.eye(nu, dtype=dtype)
-    Sc = jnp.where(msk[None, None, :] > 0, Sc, eye[:, :, None])
-    Sinv = gauss_jordan_inv_bl(Sc)
+    store = pc_dtype or dtype
+    n_chunks = 4 if nf > 200000 else 1
+    bounds = [round(i * nf / n_chunks) for i in range(n_chunks + 1)]
+    Sinv_chunks, Dinv0_chunks = [], []
+    for f0, f1 in zip(bounds[:-1], bounds[1:]):
+        fsl = slice(f0, f1)
+        Dinv0_c = jax.lax.optimization_barrier(
+            Dinv_bl[:, :, geom.fcells[0, fsl]]
+        )
+        D1_c = D_bl[:, :, geom.fcells[1, fsl]]
+        Sc = D1_c - _bmm(Cx[:, :, fsl], _bmm(Dinv0_c, Bx[:, :, fsl]))
+        Sc = jnp.where(msk[fsl][None, None, :] > 0, Sc, eye[:, :, None])
+        Sinv_chunks.append(gauss_jordan_inv_bl(Sc).astype(store))
+        Dinv0_chunks.append(Dinv0_c.astype(store))
+    Sinv = jnp.concatenate(Sinv_chunks, axis=2)
+    Dinv0 = jnp.concatenate(Dinv0_chunks, axis=2)
 
     return TentativeOperator(
         D=D_bl, Bx=Bx, Cx=Cx, Dinv=Dinv_bl, Sinv=Sinv, Dinv0=Dinv0

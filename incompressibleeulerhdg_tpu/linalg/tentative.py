@@ -43,7 +43,7 @@ def tentative_solve(
     alpha=1.0,
     upwind=True,
     rtol=1.0e-10,
-    restart=30,
+    restart=20,
     maxiter=200,
     op=None,
     colored=True,

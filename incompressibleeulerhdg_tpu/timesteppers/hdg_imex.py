@@ -114,10 +114,24 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
     def nstages(self):
         return self.tableau.nstages
 
+    # above this many cells the timestep runs as a host-composed sequence of
+    # jitted phases instead of one fused program: the fused step's XLA buffer
+    # assignment needs ~13 GB at 512^2 k=2 and crashes the 16 GB chip at
+    # runtime, while every individual phase fits comfortably (~9 GB peak)
+    COMPOSITE_STEP_CELLS = 300_000
+
     def _get_step(self, f_rhs_fn, with_tracer):
-        key = (id(f_rhs_fn), with_tracer)
+        composite = self.geom.n_cells > self.COMPOSITE_STEP_CELLS
+        key = (id(f_rhs_fn), with_tracer, composite)
         if key not in self._step_cache:
-            self._step_cache[key] = jax.jit(self._make_step(f_rhs_fn, with_tracer))
+            if composite:
+                self._step_cache[key] = self._make_step_composite(
+                    f_rhs_fn, with_tracer
+                )
+            else:
+                self._step_cache[key] = jax.jit(
+                    self._make_step(f_rhs_fn, with_tracer)
+                )
         return self._step_cache[key]
 
     def _make_step(self, f_rhs_fn, with_tracer):
@@ -142,6 +156,18 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         rtol_p = self.rtol_pressure
         rtol_t = self.rtol_tentative
         out_dtype = self.disc.dtype
+        # the Schwarz patch factors resolve the ill-conditioned O(alpha/h)
+        # penalty coupling, so they need full working precision: bf16 factors
+        # (cond ~ 1/h times bf16 eps ~ O(1) patch-solve error) ballooned
+        # tentative iterations 20 -> 60-210 at 384^2.  IEHDG_PC_BF16=1
+        # enables the experiment anyway.
+        import os as _os
+
+        pc_dtype = (
+            jnp.bfloat16
+            if out_dtype == jnp.float32 and _os.environ.get("IEHDG_PC_BF16") == "1"
+            else None
+        )
 
         def step(geom, proj, cs, pc, stage_Q, stage_p, stage_lam, tn, q_tracer, cg):
             """One IMEX timestep.
@@ -206,7 +232,9 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 p_i = jax.lax.dynamic_index_in_dim(SP, i, 0, keepdims=False)
                 lam_i = jax.lax.dynamic_index_in_dim(SL, i, 0, keepdims=False)
                 if projection:
-                    t_op = build_tentative_operator(geom, star, c, pen, upwind)
+                    t_op = build_tentative_operator(
+                        geom, star, c, pen, upwind, pc_dtype=pc_dtype
+                    )
 
                     def richardson_sweep(rc, _):
                         """One Richardson iteration (hdg_imex.py:568-599)."""
@@ -352,6 +380,236 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                         [relres_stages.ravel(), jnp.stack([rr_fp, rr_pr])]
                     )
                 ),
+            )
+            return stage_Q, stage_p, stage_lam, q_new, counts
+
+        return step
+
+    def _make_step_composite(self, f_rhs_fn, with_tracer):
+        """Host-composed timestep: the same numerics as :meth:`_make_step`,
+        dispatched as separate jitted phases (per-stage operator build,
+        Richardson sweep, final/reconstruction pressure solves, tracer).
+
+        Dispatch overhead is milliseconds against multi-second steps; in
+        exchange the peak device memory is bounded by the largest phase
+        instead of the whole step's buffer assignment — the difference
+        between 512^2 k=2 fitting a 16 GB chip or crashing it.
+        """
+        import os as _os
+
+        dt = self._dt
+        tab = self.tableau
+        s = tab.nstages
+        a_impl = tab.a_impl.tolist()
+        b_expl_t = tab.b_expl.tolist()
+        c_expl = tab.c_expl.tolist()
+        alpha = jnp.asarray(self._alpha.tolist(), dtype=self.disc.dtype)
+        beta = jnp.asarray(self._beta.tolist(), dtype=self.disc.dtype)
+        alpha_f = jnp.asarray(self._alpha_f.tolist(), dtype=self.disc.dtype)
+        beta_f = jnp.asarray(self._beta_f.tolist(), dtype=self.disc.dtype)
+        aexp = jnp.asarray(tab.a_expl.tolist(), dtype=self.disc.dtype)
+        upwind = self.flux == "upwind"
+        pen = self.alpha_penalty
+        vol = self.domain_volume
+        n_rich = self.n_richardson
+        rtol_p = self.rtol_pressure
+        rtol_t = self.rtol_tentative
+        out_dtype = self.disc.dtype
+        if not self.use_projection_method:
+            raise NotImplementedError(
+                "the monolithic branch above the composite-step size threshold "
+                "is not supported; use the projection method (driver default)"
+            )
+
+        def shift(geom, p, lam):
+            m = F.integral(geom, geom.phi0, p) / vol
+            return p - m, lam - m
+
+        def interp_velocity(geom, fn):
+            x = geom.xnodes1
+            fx, fy = fn(x[0], x[1])
+            return jnp.stack(jnp.broadcast_arrays(fx, fy), axis=0).astype(out_dtype)
+
+        @jax.jit
+        def j_forcing(geom, tn):
+            return jnp.stack(
+                [
+                    interp_velocity(geom, f_rhs_fn(tn + c_expl[j] * dt))
+                    for j in range(s)
+                ]
+            )
+
+        @jax.jit
+        def j_star_build(geom, proj, Q_prev, c):
+            Qstar = project_bdm(geom, proj, Q_prev)
+            star = star_fields(geom, Qstar)
+            op = build_tentative_operator(geom, star, c, pen, upwind)
+            return star, op
+
+        @jax.jit
+        def j_residual(geom, stage_Q, b_all, alpha_row, beta_row):
+            SQ = jnp.stack(stage_Q)
+            return F.mass_apply(
+                geom,
+                geom.m1,
+                jnp.einsum("s,s...->...", alpha_row, SQ)
+                + dt * jnp.einsum("s,s...->...", beta_row, b_all),
+            )
+
+        @jax.jit
+        def j_sweep(geom, cs, pc, star, op, r_i, Q_i, p_i, lam_i, c):
+            precond = lambda v: gtmg_apply(geom, cs, pc, v)
+            b_tent = (
+                r_i
+                - F.mass_apply(geom, geom.m1, Q_i)
+                + c
+                * (
+                    f_impl_apply(geom, star, Q_i, pen, upwind)
+                    + pressure_gradient_apply(geom, p_i, lam_i)
+                )
+            )
+            dQt, n_t, rr_t = tentative_solve(
+                geom, star, b_tent, c, alpha=pen, upwind=upwind, rtol=rtol_t,
+                op=op,
+            )
+            f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt)
+            du, dp, dlam, n_p, rr_p = pressure_solve(
+                geom, cs, jnp.zeros_like(Q_i), f_p, jnp.zeros_like(lam_i),
+                rtol=rtol_p, precond=precond,
+            )
+            dp, dlam = shift(geom, dp, dlam)
+            return (
+                Q_i + dQt + c * du,
+                p_i + dp,
+                lam_i + dlam,
+                n_t,
+                n_p,
+                jnp.maximum(rr_t, rr_p),
+            )
+
+        @jax.jit
+        def j_shift(geom, p_i, lam_i):
+            return shift(geom, p_i, lam_i)
+
+        @jax.jit
+        def j_final(geom, cs, pc, stage_Q, b_all):
+            precond = lambda v: gtmg_apply(geom, cs, pc, v)
+            SQ = jnp.stack(stage_Q)
+            r_fin = F.mass_apply(
+                geom,
+                geom.m1,
+                jnp.einsum("s,s...->...", alpha_f, SQ)
+                + dt * jnp.einsum("s,s...->...", beta_f, b_all),
+            )
+            Q_new, p_new, lam_new, n_fp, rr_fp = pressure_solve(
+                geom,
+                cs,
+                r_fin,
+                jnp.zeros((geom.d0, geom.n_cells), r_fin.dtype),
+                jnp.zeros((cs.nt, geom.n_facets), r_fin.dtype),
+                rtol=rtol_p,
+                precond=precond,
+            )
+            return Q_new, p_new, lam_new, n_fp, rr_fp
+
+        @jax.jit
+        def j_reconstruct(geom, cs, pc, Q_new, tn):
+            precond = lambda v: gtmg_apply(geom, cs, pc, v)
+            b_new = interp_velocity(geom, f_rhs_fn(tn + dt))
+            f_p, f_lam = pressure_reconstruction_rhs(geom, Q_new, b_new)
+            _, p_new, lam_new, n_pr, rr_pr = pressure_solve(
+                geom, cs, jnp.zeros_like(Q_new), f_p, f_lam, rtol=rtol_p,
+                precond=precond,
+            )
+            p_new, lam_new = shift(geom, p_new, lam_new)
+            return p_new, lam_new, n_pr, rr_pr
+
+        @jax.jit
+        def j_tracer_stage(geom, cg, q_stages, aexp_row, Q_i):
+            u_adv = cg_project_velocity(geom, cg, Q_i)
+            q_comb = jnp.einsum("s,s...->...", aexp_row, jnp.stack(q_stages))
+            b_q = F.mass_apply(geom, geom.m0, q_stages[0])
+            b_q = b_q + dt * tracer_advection_apply(geom, q_comb, u_adv)
+            return F.mass_solve(geom, geom.m0inv, b_q)
+
+        @jax.jit
+        def j_tracer_final(geom, cg, q_stages, stage_Q):
+            b_q = F.mass_apply(geom, geom.m0, q_stages[0])
+            for i in range(s):
+                if b_expl_t[i] != 0:
+                    u_adv = cg_project_velocity(geom, cg, stage_Q[i])
+                    b_q = b_q + dt * b_expl_t[i] * tracer_advection_apply(
+                        geom, q_stages[i], u_adv
+                    )
+            return F.mass_solve(geom, geom.m0inv, b_q)
+
+        phase_timing = _os.environ.get("IEHDG_PHASE_TIMING") == "1"
+
+        def step(geom, proj, cs, pc, stage_Q, stage_p, stage_lam, tn, q_tracer, cg):
+            stage_Q, stage_p, stage_lam = list(stage_Q), list(stage_p), list(stage_lam)
+            import time as _time
+
+            t_phase = _time.perf_counter()
+
+            def mark(label, out):
+                nonlocal t_phase
+                if phase_timing:
+                    for leaf in jax.tree_util.tree_leaves(out):
+                        leaf.block_until_ready()
+                    now = _time.perf_counter()
+                    PerformanceLog.data[label].append(now - t_phase)
+                    t_phase = now
+                return out
+
+            b_all = mark("forcing", j_forcing(geom, tn))
+            q_stages = [q_tracer] if with_tracer else None
+            its_tent, its_p, relres = [], [], []
+            for i in range(1, s):
+                c = jnp.asarray(a_impl[i][i] * dt, dtype=out_dtype)
+                star, op = mark(
+                    "star+build", j_star_build(geom, proj, stage_Q[i - 1], c)
+                )
+                r_i = mark(
+                    "residual", j_residual(geom, tuple(stage_Q), b_all, alpha[i], beta[i])
+                )
+                Q_i, p_i, lam_i = stage_Q[i], stage_p[i], stage_lam[i]
+                for _ in range(n_rich):
+                    Q_i, p_i, lam_i, n_t, n_p, rr = mark(
+                        "sweep",
+                        j_sweep(geom, cs, pc, star, op, r_i, Q_i, p_i, lam_i, c),
+                    )
+                    its_tent.append(n_t)
+                    its_p.append(n_p)
+                    relres.append(rr)
+                del op, star
+                p_i, lam_i = j_shift(geom, p_i, lam_i)
+                stage_Q[i], stage_p[i], stage_lam[i] = Q_i, p_i, lam_i
+                if q_stages is not None:
+                    q_stages.append(
+                        j_tracer_stage(
+                            geom, cg, tuple(q_stages), aexp[i][: len(q_stages)], Q_i
+                        )
+                    )
+
+            Q_new, p_new, lam_new, n_fp, rr_fp = mark(
+                "final", j_final(geom, cs, pc, tuple(stage_Q), b_all)
+            )
+            p_new, lam_new, n_pr, rr_pr = mark(
+                "reconstruct", j_reconstruct(geom, cs, pc, Q_new, tn)
+            )
+            relres += [rr_fp, rr_pr]
+
+            q_new = None
+            if q_stages is not None:
+                q_new = j_tracer_final(geom, cg, tuple(q_stages), tuple(stage_Q))
+
+            stage_Q[0], stage_p[0], stage_lam[0] = Q_new, p_new, lam_new
+            counts = dict(
+                tentative=jnp.stack(its_tent),
+                pressure=jnp.stack(its_p),
+                final_pressure=n_fp,
+                reconstruction=n_pr,
+                max_relres=jnp.max(jnp.stack(relres)),
             )
             return stage_Q, stage_p, stage_lam, q_new, counts
 
