@@ -187,8 +187,11 @@ class HDGDiscretisation:
         self.V0 = tabulate_cell_space(k, cell_qdeg, sq)
 
         m = mesh
-        f = lambda a: jnp.asarray(a, dtype=dtype)
-        i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        # host-side conversions only: the finished Geom is shipped in ONE
+        # device_put below (eager per-array transfers each pay ~25 ms of
+        # remote-TPU tunnel latency; ~40 of them dominated construction)
+        f = lambda a: np.asarray(a, dtype=dtype)
+        i32 = lambda a: np.asarray(a, dtype=np.int32)
 
         # clamp missing minus cells to 0 so gathers are in-bounds; interior mask
         # n_int keeps results correct (boundary facets never read side 1)
@@ -211,18 +214,18 @@ class HDGDiscretisation:
         fcol_pos = np.zeros((ncol, nc), dtype=np.int32)
         fcol_side = np.zeros((ncol, nc), dtype=np.int32)
         fcol_mask = np.zeros((ncol, nc))
-        for k in range(ncol):
-            fk = np.arange(bounds[k], bounds[k + 1])
+        for kc in range(ncol):  # NOT `k`: that still holds the degree
+            fk = np.arange(bounds[kc], bounds[kc + 1])
             for s in (0, 1):
                 cks = m.facet_cells[fk, s]
-                fcol_pos[k, cks] = fk - bounds[k]
-                fcol_side[k, cks] = s
-                fcol_mask[k, cks] = 1.0
+                fcol_pos[kc, cks] = fk - bounds[kc]
+                fcol_side[kc, cks] = s
+                fcol_mask[kc, cks] = 1.0
         fcol_orphans = bool(np.any(fcol_mask.sum(axis=0) == 0.0))
 
         cfassemble = m.cell_facets + m.cell_facet_side * m.n_facets
 
-        self.geom = Geom(
+        geom_host = Geom(
             wq=f(self.V1.qw),
             phi1=f(self.V1.phi),
             gphi1=f(self.V1.gphi),
@@ -247,7 +250,7 @@ class HDGDiscretisation:
             cfsign=f(cfsign.T),
             cfassemble=i32(cfassemble.T),
             cf_tab=i32(cf_tab.T),
-            cf_bnd=jnp.asarray(cf_bnd.T),
+            cf_bnd=np.asarray(cf_bnd.T),
             xq=f(xq.transpose(2, 1, 0)),
             xnodes1=f(xnodes1.transpose(2, 1, 0)),
             xnodes0=f(xnodes0.transpose(2, 1, 0)),
@@ -264,6 +267,7 @@ class HDGDiscretisation:
             fcol_bounds=tuple(int(b) for b in bounds),
             fcol_orphans=fcol_orphans,
         )
+        self.geom = jax.device_put(geom_host)
 
         self.domain_volume = m.domain_volume
 

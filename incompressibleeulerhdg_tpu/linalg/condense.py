@@ -155,6 +155,11 @@ def build_condensed_system(disc, tau=1.0):
     nullvec = np.ones((nt, nf))
     nullvec /= np.linalg.norm(nullvec)
 
+    # stash host copies of the large tables for downstream setup consumers
+    # (build_gtmg's spectral estimates): pulling them back off the device
+    # runs at ~3 MB/s through the remote-TPU tunnel and dominated setup time
+    disc._cs_host = {"S": S, "Sdiag_inv": Sdiag_inv}
+
     f = lambda a: jnp.asarray(a, dtype=disc.dtype)
     return CondensedSystem(
         S=f(S.transpose(1, 2, 0)),

@@ -123,10 +123,17 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
     np.add.at(K_diag, mesh.cells, np.einsum("caa->ca", K_elem))
 
     # sign and eigenvalue estimates: host-side numpy power iteration (eager
-    # device dispatches through the TPU tunnel would dominate setup time)
+    # device dispatches through the TPU tunnel would dominate setup time).
+    # Use the host copies stashed by build_condensed_system — pulling the
+    # device tables back costs minutes at 256^2+ (tunnel D2H ~3 MB/s).
     rng = np.random.default_rng(7)
-    S_np = np.asarray(cs.S, dtype=np.float64).transpose(2, 0, 1)
-    Sdiag_inv_np = np.asarray(cs.Sdiag_inv, dtype=np.float64).transpose(2, 0, 1)
+    host = getattr(disc, "_cs_host", None)
+    if host is not None:
+        S_np = np.asarray(host["S"], dtype=np.float64)
+        Sdiag_inv_np = np.asarray(host["Sdiag_inv"], dtype=np.float64)
+    else:
+        S_np = np.asarray(cs.S, dtype=np.float64).transpose(2, 0, 1)
+        Sdiag_inv_np = np.asarray(cs.Sdiag_inv, dtype=np.float64).transpose(2, 0, 1)
     cf = mesh.cell_facets
     nt = S_np.shape[-1] // 3
     nf = mesh.n_facets
