@@ -77,7 +77,7 @@ __all__ = ["Geom", "HDGDiscretisation"]
         "fcol_side",
         "fcol_mask",
     ],
-    meta_fields=["n_int", "degree", "fcol_bounds", "fcol_orphans"],
+    meta_fields=["n_int", "degree", "fcol_bounds", "fcol_orphans", "shift"],
 )
 @dataclass
 class Geom:
@@ -141,6 +141,10 @@ class Geom:
     degree: int = 1
     fcol_bounds: tuple = ()  # color slice offsets into the facet axis
     fcol_orphans: bool = False  # any cell with no interior facet?
+    # shift topology (nx, ny, periodic, slot_off, colors, bnd) of a
+    # [lowers; uppers] structured mesh, or None — enables the slice/roll
+    # facet<->cell fast path (ops/structured.py)
+    shift: tuple = None
 
     @property
     def n_cells(self):
@@ -266,6 +270,7 @@ class HDGDiscretisation:
             degree=k,
             fcol_bounds=tuple(int(b) for b in bounds),
             fcol_orphans=fcol_orphans,
+            shift=getattr(m, "shift_spec", None),
         )
         self.geom = jax.device_put(geom_host)
 

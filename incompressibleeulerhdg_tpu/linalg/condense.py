@@ -182,6 +182,10 @@ def _facets_from_cells(geom, y_c):
     scatters serialize on TPU.  Returns (nt, nf).
     """
     nt = y_c.shape[0] // 3
+    if geom.shift is not None:
+        from ..ops.structured import slot_scatter
+
+        return slot_scatter(geom, [y_c[l * nt : (l + 1) * nt] for l in range(3)])
     fl = geom.ftab // 2  # (2, nf) local facet index per side
     msk = (jnp.arange(geom.n_facets) < geom.n_int).astype(y_c.dtype)[None, :]
     out = 0.0
@@ -195,6 +199,10 @@ def _facets_from_cells(geom, y_c):
 
 def _cells_from_facets(geom, lam):
     """Gather per-cell trace dofs: (nt, nf) -> (3nt, nc) (local facet major)."""
+    if geom.shift is not None:
+        from ..ops.structured import slot_gather
+
+        return jnp.concatenate(slot_gather(geom, lam), axis=0)
     return jnp.concatenate(
         [lam[:, geom.cell_facets[l]] for l in range(3)], axis=0
     )

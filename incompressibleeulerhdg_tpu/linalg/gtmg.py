@@ -59,6 +59,7 @@ __all__ = ["TwoLevelTracePC", "build_gtmg", "gtmg_apply"]
         "coarse_kind",
         "grid_shape",
         "fft_f32",
+        "vshift",
     ],
 )
 @dataclass
@@ -79,6 +80,10 @@ class TwoLevelTracePC:
     vc_mask: jnp.ndarray  # (nv, Dc)
     coarse_eig_inv: jnp.ndarray = None  # spectral inverse (structured meshes)
     coarse_scale: jnp.ndarray = None  # (nv,) D^{-1} boundary-row scaling
+    # static vertex-shift spec (Mx, My, wrap, groups) mapping every facet
+    # group's endpoint vertices to constant vertex-grid offsets — turns
+    # restrict/prolong into slices/rolls (None: padded-adjacency gathers)
+    vshift: tuple = None
     n_vertices: int = 0
     coarse_kind: str = "cheb"  # "cheb" | "fft_neumann" | "fft_periodic"
     grid_shape: tuple = None
@@ -100,6 +105,54 @@ def _facet_endpoints(mesh):
     lo = np.minimum(va, vb)
     hi = np.maximum(va, vb)
     return np.stack([lo, hi], axis=1).astype(np.int32)
+
+
+def _vertex_shift_groups(mesh):
+    """Constant vertex-grid offsets of every facet group's endpoints.
+
+    For each facet group of the shift spec (colors + boundary groups, in
+    facet order) verify that the lo/hi endpoint vertices sit at a constant
+    vertex-grid offset from the facet's grid position; returns
+    ``(Mx, My, wrap, groups)`` with groups entries
+    ``(f0, f1, i0, j0, ni, nj, (dlo_i, dlo_j), (dhi_i, dhi_j))``,
+    or None (fall back to the padded-adjacency gathers).
+    """
+    spec = getattr(mesh, "shift_spec", None)
+    sg = getattr(mesh, "structured_grid", None)
+    if spec is None or sg is None:
+        return None
+    kind, Mx, My = sg[0], sg[1], sg[2]
+    wrap = kind == "periodic"
+    fv = _facet_endpoints(mesh)
+    bounds = mesh.facet_color_bounds
+    items = [
+        (bounds[k], bounds[k + 1], col[2], col[3], col[4], col[5])
+        for k, col in enumerate(spec[4])
+    ]
+    items += [(f0, f0 + ni * nj, i0, j0, ni, nj) for (h, l, i0, j0, ni, nj, f0) in spec[5]]
+    groups = []
+    expect_f0 = 0
+    for (f0, f1, i0, j0, ni, nj) in items:
+        if f0 != expect_f0:
+            return None
+        expect_f0 = f1
+        pi = i0 + np.repeat(np.arange(ni), nj)
+        pj = j0 + np.tile(np.arange(nj), ni)
+        offs = []
+        for e in range(2):
+            v = fv[f0:f1, e]
+            vi, vj = v // My, v % My
+            di, dj = vi - pi, vj - pj
+            if wrap:
+                di = (di + Mx // 2) % Mx - Mx // 2
+                dj = (dj + My // 2) % My - My // 2
+            if v.size == 0 or not (np.all(di == di[0]) and np.all(dj == dj[0])):
+                return None
+            offs.append((int(di[0]), int(dj[0])))
+        groups.append((f0, f1, i0, j0, ni, nj, offs[0], offs[1]))
+    if expect_f0 != mesh.n_facets:
+        return None
+    return (int(Mx), int(My), wrap, tuple(groups))
 
 
 def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
@@ -273,6 +326,7 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
         vc_mask=jnp.asarray(vc_mask, dtype=disc.dtype),
         coarse_eig_inv=eig_inv,
         coarse_scale=coarse_scale,
+        vshift=_vertex_shift_groups(mesh),
         n_vertices=nv,
         fft_f32=bool(jax.default_backend() == "tpu" and disc.dtype == jnp.float64),
         coarse_kind=coarse_kind,
@@ -356,19 +410,49 @@ def _coarse_solve(pc, rc):
 def prolong(pc, zc):
     """P1 vertex values -> trace dofs: linear interpolation along each facet.
 
-    (nv,) -> (nt, nf)
+    (nv,) -> (nt, nf).  Structured meshes read the endpoint values as
+    slices/rolls of the vertex grid (vshift); otherwise two (nf,) gathers.
     """
-    lo = zc[pc.facet_verts[0]]  # (nf,)
-    hi = zc[pc.facet_verts[1]]
+    if pc.vshift is not None:
+        from ..ops.structured import shift2, rect_flat
+
+        Mx, My, wrap, groups = pc.vshift
+        zg = zc.reshape(Mx, My)
+        lo_parts, hi_parts = [], []
+        for (f0, f1, i0, j0, ni, nj, dlo, dhi) in groups:
+            rect = (i0, j0, ni, nj)
+            lo_parts.append(rect_flat(shift2(zg, dlo, wrap), rect))
+            hi_parts.append(rect_flat(shift2(zg, dhi, wrap), rect))
+        lo = jnp.concatenate(lo_parts)
+        hi = jnp.concatenate(hi_parts)
+    else:
+        lo = zc[pc.facet_verts[0]]  # (nf,)
+        hi = zc[pc.facet_verts[1]]
     s = pc.trace_nodes[:, None]
     return lo[None, :] * (1.0 - s) + hi[None, :] * s
 
 
 def restrict(pc, lam):
-    """Adjoint of prolong: (nt, nf) -> (nv,) via the padded vertex-facet table."""
+    """Adjoint of prolong: (nt, nf) -> (nv,).
+
+    Structured meshes scatter the two endpoint accumulants by grid
+    pads/rolls; otherwise padded vertex-facet adjacency gathers.
+    """
     s = pc.trace_nodes[:, None]
     a_lo = jnp.sum(lam * (1.0 - s), axis=0)  # (nf,)
     a_hi = jnp.sum(lam * s, axis=0)
+    if pc.vshift is not None:
+        from ..ops.structured import shift2
+
+        Mx, My, wrap, groups = pc.vshift
+        acc = jnp.zeros((Mx, My), lam.dtype)
+        for (f0, f1, i0, j0, ni, nj, dlo, dhi) in groups:
+            for arr, d in ((a_lo, dlo), (a_hi, dhi)):
+                seg = arr[f0:f1].reshape(ni, nj)
+                pad = jnp.pad(seg, ((i0, Mx - i0 - ni), (j0, My - j0 - nj)))
+                # facet p contributes to vertex p + d: adjoint shift by -d
+                acc = acc + shift2(pad, (-d[0], -d[1]), wrap)
+        return acc.ravel()
     # side-concatenated flat gather per adjacency column (padded (nv, Dv)
     # gathers tile-pad Dv -> 128 lanes)
     acat = jnp.concatenate([a_lo, a_hi])

@@ -222,13 +222,43 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
     # ------------------------------------------------------------------
     # patch Schur factors  S = D_minus - Cx Dinv_plus Bx
     # ------------------------------------------------------------------
+    eye = jnp.eye(nu, dtype=dtype)
+    store = pc_dtype or dtype
+    if geom.shift is not None:
+        # structured: per-color D gathers are rect slices/rolls, and Dinv0
+        # need not be stored at all — the patch solve re-slices op.Dinv
+        # (saves 400*nf floats of HBM and the 400-row gathers of the build)
+        from ..ops import structured as st
+
+        Dup = st.grid_halves(geom, D_bl)[1]
+        Dinv_lo = st.grid_halves(geom, Dinv_bl)[0]
+        Sinv_parts = []
+        for k, (l, lu, i0, j0, ni, nj, off) in enumerate(geom.shift[4]):
+            rect = (i0, j0, ni, nj)
+            b0, b1 = geom.fcol_bounds[k], geom.fcol_bounds[k + 1]
+            D1 = st.rect_flat(st.roll2(geom, Dup, off), rect)
+            Dinv0_k = st.rect_flat(Dinv_lo, rect)
+            Sc = D1 - _bmm(Cx[:, :, b0:b1], _bmm(Dinv0_k, Bx[:, :, b0:b1]))
+            Sinv_parts.append(gauss_jordan_inv_bl(Sc).astype(store))
+        nbnd = nf - geom.n_int
+        if nbnd:
+            Sinv_parts.append(
+                jnp.broadcast_to(eye[:, :, None], (nu, nu, nbnd)).astype(store)
+            )
+        return TentativeOperator(
+            D=D_bl,
+            Bx=Bx,
+            Cx=Cx,
+            Dinv=Dinv_bl,
+            Sinv=jnp.concatenate(Sinv_parts, axis=2),
+            Dinv0=None,
+        )
+
     # chunked over facets: the unchunked chain holds D1, two _bmm
     # temporaries, Sc and Sinv live simultaneously (~7 GB at 512^2, the
     # single-chip OOM margin); per-chunk temporaries are freed eagerly.
     # pc_dtype (bf16 on the f32 fast path) halves the STORED factors — they
     # only steer the preconditioner, convergence is judged on the f32 matvec.
-    eye = jnp.eye(nu, dtype=dtype)
-    store = pc_dtype or dtype
     n_chunks = 4 if nf > 200000 else 1
     bounds = [round(i * nf / n_chunks) for i in range(n_chunks + 1)]
     Sinv_chunks, Dinv0_chunks = [], []
@@ -251,7 +281,14 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
 
 
 def _gather_sides_bl(geom, ub):
-    """Plus/minus cell columns of a (nu, nc) field: two (nu, nf) lane gathers."""
+    """Plus/minus cell columns of a (nu, nc) field: two (nu, nf) moves.
+
+    Structured meshes: slices/rolls (ops/structured.py); otherwise lane
+    gathers (per-element DRAM speed on TPU — the 512^2 matvec ceiling)."""
+    if geom.shift is not None:
+        from ..ops.structured import gather_plus, gather_minus
+
+        return gather_plus(geom, ub), gather_minus(geom, ub)
     msk = interior_mask(geom, 1)[None, :]
     u0 = ub[:, geom.fcells[0]]
     u1 = ub[:, geom.fcells[1]] * msk
@@ -262,8 +299,13 @@ def _assemble_cells_bl(geom, z0, z1):
     """Facet->cell assembly: (nu, nf) sides -> (nu, nc) sum.
 
     One lane gather per local facet from the side-concatenated array
-    (scatters serialize on TPU; every cell has exactly three facets).
+    (scatters serialize on TPU; every cell has exactly three facets);
+    slices/rolls on structured meshes.
     """
+    if geom.shift is not None:
+        from ..ops.structured import scatter_sides_sum
+
+        return scatter_sides_sum(geom, z0, z1)
     zcat = jnp.concatenate([z0, z1], axis=1)  # (nu, 2 nf)
     out = 0.0
     for l in range(3):
@@ -291,9 +333,14 @@ def _patch_apply_bl(geom, op, rb):
     """Additive Schwarz on a component-major (nu, nc) residual."""
     msk = interior_mask(geom, 1)[None, :]
     r0, r1 = _gather_sides_bl(geom, rb)
-    t = r1 - _bm(op.Cx, _bm(op.Dinv0, r0))
+    Dinv0 = op.Dinv0
+    if Dinv0 is None:  # structured build does not store Dinv0 (diagnostic path)
+        from ..ops.structured import gather_plus
+
+        Dinv0 = gather_plus(geom, op.Dinv)
+    t = r1 - _bm(op.Cx, _bm(Dinv0, r0))
     y1 = _bm(op.Sinv, t) * msk
-    y0 = _bm(op.Dinv0, r0 - _bm(op.Bx, y1))
+    y0 = _bm(Dinv0, r0 - _bm(op.Bx, y1))
     return _assemble_cells_bl(geom, y0, y1) / 3.0
 
 
@@ -325,16 +372,47 @@ def _patch_color(geom, op, k, rb):
     return ycat[:, idx] * geom.fcol_mask[k][None, :]
 
 
-def _colored_apply_bl(geom, op, rb):
-    """Multiplicative colored sweep on a component-major (nu, nc) residual."""
+def _patch_color_structured(geom, op, k, rb):
+    """Structured-mesh variant of :func:`_patch_color`: the per-color
+    facet<->cell moves are rect slices/rolls on the [lowers; uppers] grid
+    (ops/structured.py) and the plus-cell block inverse is re-sliced from
+    ``op.Dinv`` instead of a stored gathered copy."""
+    from ..ops import structured as st
+
+    l, lu, i0, j0, ni, nj, off = geom.shift[4][k]
+    rect = (i0, j0, ni, nj)
+    b0, b1 = geom.fcol_bounds[k], geom.fcol_bounds[k + 1]
+    lo, up = st.grid_halves(geom, rb)
+    r0 = st.rect_flat(lo, rect)
+    r1 = st.rect_flat(st.roll2(geom, up, off), rect)
+    Dinv0 = st.rect_flat(st.grid_halves(geom, op.Dinv)[0], rect)
+    t = r1 - _bm(op.Cx[:, :, b0:b1], _bm(Dinv0, r0))
+    y1 = _bm(op.Sinv[:, :, b0:b1], t)
+    y0 = _bm(Dinv0, r0 - _bm(op.Bx[:, :, b0:b1], y1))
+    z_lo = st.rect_pad(geom, y0, rect)
+    z_up = st.roll2(geom, st.rect_pad(geom, y1, rect), (-off[0], -off[1]))
+    return st.grid_join(geom, z_lo, z_up)
+
+
+def _colored_apply_bl(geom, op, rb, symmetric=False):
+    """Multiplicative colored sweep on a component-major (nu, nc) residual.
+
+    ``symmetric=True`` continues the sweep back through the colors in
+    reverse order (block-SSOR-like): stronger per application at the cost of
+    ncol-1 extra patch solves + matvecs.
+    """
     ncol = len(geom.fcol_bounds) - 1
-    z = _patch_color(geom, op, 0, rb)
+    patch = _patch_color_structured if geom.shift is not None else _patch_color
+    z = patch(geom, op, 0, rb)
     if geom.fcol_orphans:
         orphan = (jnp.sum(geom.fcol_mask, axis=0) == 0.0).astype(rb.dtype)
         z = z + _bm(op.Dinv, rb) * orphan[None, :]
-    for k in range(1, ncol):
+    order = list(range(1, ncol))
+    if symmetric:
+        order += list(range(ncol - 2, -1, -1))
+    for k in order:
         rk = rb - _matvec_bl(geom, op, z)
-        z = z + _patch_color(geom, op, k, rk)
+        z = z + patch(geom, op, k, rk)
     return z
 
 

@@ -43,10 +43,12 @@ def tentative_solve(
     alpha=1.0,
     upwind=True,
     rtol=1.0e-10,
-    restart=20,
+    restart=40,
     maxiter=200,
     op=None,
     colored=True,
+    sweeps=1,
+    symmetric=True,
 ):
     """Solve (M - c f_impl) u = rhs.  Returns (u (2, d1, nc), iters, relres).
 
@@ -54,6 +56,13 @@ def tentative_solve(
     analogue of the reference's ILU: exact patch solves swept color by color
     resolve the one-sided facet couplings sequentially, keeping iteration
     counts low where block Jacobi degrades like 1/h).
+
+    :arg sweeps: multiplicative sweeps per preconditioner application
+    :arg symmetric: sweep the colors forward then backward (block-SSOR-like);
+        roughly doubles the per-application cost but cuts GMRES iterations
+        by more (the reference's ILU plays this role, hdg_imex.py:224-228)
+    :arg restart: GMRES restart length; the full solve should fit inside one
+        cycle — restarting loses superlinear convergence
     """
     shape = rhs.shape
     nu = shape[0] * shape[1]
@@ -66,7 +75,12 @@ def tentative_solve(
 
     if colored and geom.fcol_pos is not None:
         def M(v):
-            return _colored_apply_bl(geom, op, v.reshape(nu, nc)).ravel()
+            rb = v.reshape(nu, nc)
+            z = _colored_apply_bl(geom, op, rb, symmetric=symmetric)
+            for _ in range(sweeps - 1):
+                rk = rb - _matvec_bl(geom, op, z)
+                z = z + _colored_apply_bl(geom, op, rk, symmetric=symmetric)
+            return z.ravel()
     else:
         def M(v):
             return _patch_apply_bl(geom, op, v.reshape(nu, nc)).ravel()

@@ -8,7 +8,7 @@ driver (/root/reference/src/driver.py:181-185):
 
 import numpy as np
 
-from .triangle_mesh import build_mesh
+from .triangle_mesh import build_mesh, attach_shift_structure
 
 __all__ = ["unit_square_mesh", "periodic_square_mesh", "unit_disk_mesh"]
 
@@ -20,6 +20,11 @@ def unit_square_mesh(nx, ny=None, L=1.0):
     (diagonal "right"), matching the default triangle pattern of the
     reference's ``UnitSquareMesh`` up to reflection; convergence behaviour is
     identical.
+
+    Cells are ordered [all lower triangles (i-major); all upper triangles]:
+    every lower cell's neighbors are upper cells at fixed grid offsets (and
+    vice versa), which turns all facet<->cell data movement into static
+    slices/rolls on TPU (see :func:`attach_shift_structure`).
     """
     if ny is None:
         ny = nx
@@ -31,15 +36,16 @@ def unit_square_mesh(nx, ny=None, L=1.0):
     def vid(i, j):
         return i * (ny + 1) + j
 
-    cells = []
+    lowers, uppers = [], []
     for i in range(nx):
         for j in range(ny):
             v00, v10 = vid(i, j), vid(i + 1, j)
             v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
-            cells.append([v00, v10, v11])
-            cells.append([v00, v11, v01])
-    m = build_mesh(vertices, np.asarray(cells, dtype=np.int32))
+            lowers.append([v00, v10, v11])
+            uppers.append([v00, v11, v01])
+    m = build_mesh(vertices, np.asarray(lowers + uppers, dtype=np.int32))
     m.structured_grid = ("neumann", nx + 1, ny + 1)
+    attach_shift_structure(m, nx, ny, periodic=False)
     return m
 
 
@@ -64,20 +70,21 @@ def periodic_square_mesh(nx, ny=None, L=2.0 * np.pi):
     def coord(i, j):
         return np.array([i * (L / nx), j * (L / ny)])
 
-    cells, coords = [], []
+    lowers, lcoords, uppers, ucoords = [], [], [], []
     for i in range(nx):
         for j in range(ny):
-            cells.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)])
-            coords.append([coord(i, j), coord(i + 1, j), coord(i + 1, j + 1)])
-            cells.append([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)])
-            coords.append([coord(i, j), coord(i + 1, j + 1), coord(i, j + 1)])
+            lowers.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)])
+            lcoords.append([coord(i, j), coord(i + 1, j), coord(i + 1, j + 1)])
+            uppers.append([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)])
+            ucoords.append([coord(i, j), coord(i + 1, j + 1), coord(i, j + 1)])
     m = build_mesh(
         vertices,
-        np.asarray(cells, dtype=np.int32),
-        cell_coords=np.asarray(coords, dtype=np.float64),
+        np.asarray(lowers + uppers, dtype=np.int32),
+        cell_coords=np.asarray(lcoords + ucoords, dtype=np.float64),
         periodic=True,
     )
     m.structured_grid = ("periodic", nx, ny)
+    attach_shift_structure(m, nx, ny, periodic=True)
     return m
 
 

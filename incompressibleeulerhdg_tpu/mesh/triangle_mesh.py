@@ -28,7 +28,13 @@ Conventions
 from dataclasses import dataclass, field
 import numpy as np
 
-__all__ = ["TriangleMesh", "build_mesh", "color_cells", "color_facets"]
+__all__ = [
+    "TriangleMesh",
+    "build_mesh",
+    "color_cells",
+    "color_facets",
+    "attach_shift_structure",
+]
 
 # local facet l of cell (v0,v1,v2) is (LOCAL_FACET_VERTS[l][0], LOCAL_FACET_VERTS[l][1])
 LOCAL_FACET_VERTS = np.array([[1, 2], [2, 0], [0, 1]], dtype=np.int32)
@@ -70,6 +76,12 @@ class TriangleMesh:
     # share no cell); facet_color_bounds[k]:facet_color_bounds[k+1] slices
     # color k.  Enables multiplicative facet-patch Schwarz sweeps.
     facet_color_bounds: tuple = None
+    # shift topology of a [lowers; uppers]-ordered structured grid (see
+    # attach_shift_structure); None for unstructured meshes.  When present,
+    # every facet<->cell map is a static slice/roll on the (nx, ny) grid —
+    # the TPU fast path (XLA's gather emitter runs at per-element DRAM
+    # speed; slices/rolls stream at full bandwidth).
+    shift_spec: tuple = None
 
     @property
     def n_cells(self):
@@ -312,27 +324,137 @@ def build_mesh(vertices, cells, cell_coords=None, periodic=False, use_native=Tru
     return _sort_interior_facets_by_color(mesh)
 
 
-def _sort_interior_facets_by_color(mesh):
-    """Reorder interior facets so each color is a contiguous slice.
-
-    Per-color patch tables then come from static slices of the assembled
-    operator tables — no runtime gathers (cell_facet_side is a property of
-    the (cell, facet) pair and is invariant under facet renumbering).
-    """
-    colors, ncol = color_facets(mesh)
-    nfi = mesh.n_interior_facets
-    order = np.argsort(colors, kind="stable")
-    perm = np.concatenate([order, np.arange(nfi, mesh.n_facets)])
+def _permute_facets(mesh, perm):
+    """Renumber facets by ``perm`` (new index f holds old facet perm[f])."""
     inv = np.empty_like(perm)
     inv[perm] = np.arange(mesh.n_facets)
-    counts = np.bincount(colors, minlength=ncol)
-    bounds = tuple(int(x) for x in np.concatenate([[0], np.cumsum(counts)]))
-
     mesh.facet_cells = mesh.facet_cells[perm]
     mesh.facet_local = mesh.facet_local[perm]
     mesh.facet_flip = mesh.facet_flip[perm]
     mesh.normals = mesh.normals[perm]
     mesh.facet_lengths = mesh.facet_lengths[perm]
     mesh.cell_facets = inv[mesh.cell_facets].astype(np.int32)
+    return mesh
+
+
+def _sort_interior_facets_by_color(mesh):
+    """Reorder interior facets so each color is a contiguous slice, sorted
+    within each color by plus-cell index.
+
+    Per-color patch tables then come from static slices of the assembled
+    operator tables — no runtime gathers (cell_facet_side is a property of
+    the (cell, facet) pair and is invariant under facet renumbering).  The
+    within-color plus-cell sort makes each color of a [lowers; uppers]
+    structured mesh a row-major rectangle of the lower-cell grid (the basis
+    of the shift fast path, attach_shift_structure).
+    """
+    colors, ncol = color_facets(mesh)
+    nfi = mesh.n_interior_facets
+    order = np.lexsort((mesh.facet_cells[:nfi, 0], colors))
+    perm = np.concatenate([order, np.arange(nfi, mesh.n_facets)])
+    counts = np.bincount(colors, minlength=ncol)
+    bounds = tuple(int(x) for x in np.concatenate([[0], np.cumsum(counts)]))
+    _permute_facets(mesh, perm)
     mesh.facet_color_bounds = bounds
+    return mesh
+
+
+def attach_shift_structure(mesh, nx, ny, periodic):
+    """Detect + record the shift topology of a [lowers; uppers] grid mesh.
+
+    Cell layout contract: cell c < nch = nx*ny is the lower triangle of grid
+    square (c // ny, c % ny); cell nch + q is the upper triangle of square q.
+    Then (verified below, fallback to ``shift_spec = None`` if any check
+    fails):
+
+    - every interior facet has plus = a lower cell, minus = an upper cell,
+      with constant plus/minus local slots per facet color and a constant
+      grid offset between the two squares;
+    - each color's facets are exactly a row-major rectangle of lower cells
+      (after the within-color plus-cell sort of build_mesh);
+    - boundary facets are re-sorted into contiguous (half, slot) groups,
+      each a row-major rectangle (grid line) of its half.
+
+    Records ``mesh.shift_spec`` =
+        (nx, ny, periodic,
+         slot_off,   # ((3 lower (di,dj) offsets), (3 upper offsets))
+         colors,     # per color: (l_plus, l_minus, i0, j0, ni, nj, (di,dj))
+         bnd)        # per boundary group: (half, local, i0, j0, ni, nj, f0)
+    """
+    nch = nx * ny
+    mesh.shift_spec = None
+    if mesh.n_cells != 2 * nch:
+        return mesh
+    nfi = mesh.n_interior_facets
+
+    # boundary facets: contiguous (half, slot) groups sorted by cell
+    if mesh.n_boundary_facets:
+        bl = mesh.facet_local[nfi:, 0]
+        bc = mesh.facet_cells[nfi:, 0]
+        half = (bc >= nch).astype(np.int64)
+        order = np.lexsort((bc, bl, half)) + nfi
+        _permute_facets(mesh, np.concatenate([np.arange(nfi), order]))
+
+    fc = mesh.facet_cells
+    bounds = mesh.facet_color_bounds
+    ncol = len(bounds) - 1
+    colors = []
+    slot_off = [[None] * 3, [None] * 3]
+    for k in range(ncol):
+        f0, f1 = bounds[k], bounds[k + 1]
+        pc, mc = fc[f0:f1, 0], fc[f0:f1, 1]
+        lp, lm = mesh.facet_local[f0:f1, 0], mesh.facet_local[f0:f1, 1]
+        if f1 == f0 or not (np.all(pc < nch) and np.all(mc >= nch)):
+            return mesh
+        l, lu = int(lp[0]), int(lm[0])
+        if not (np.all(lp == l) and np.all(lm == lu)):
+            return mesh
+        pi, pj = pc // ny, pc % ny
+        i0, j0 = int(pi.min()), int(pj.min())
+        ni, nj = int(pi.max()) - i0 + 1, int(pj.max()) - j0 + 1
+        expect = ((i0 + np.arange(ni))[:, None] * ny + (j0 + np.arange(nj))).ravel()
+        if (f1 - f0) != ni * nj or not np.array_equal(pc, expect):
+            return mesh
+        mq = mc - nch
+        di, dj = (mq // ny) - pi, (mq % ny) - pj
+        if periodic:
+            di = (di + nx // 2) % nx - nx // 2
+            dj = (dj + ny // 2) % ny - ny // 2
+        if not (np.all(di == di[0]) and np.all(dj == dj[0])):
+            return mesh
+        off = (int(di[0]), int(dj[0]))
+        if slot_off[0][l] is not None or slot_off[1][lu] is not None:
+            return mesh
+        slot_off[0][l] = off
+        slot_off[1][lu] = (-off[0], -off[1])
+        colors.append((l, lu, i0, j0, ni, nj, off))
+
+    bnd = []
+    if mesh.n_boundary_facets:
+        bc = mesh.facet_cells[nfi:, 0]
+        bl = mesh.facet_local[nfi:, 0]
+        half = (bc >= nch).astype(np.int64)
+        q = bc - half * nch
+        key = half * 3 + bl
+        splits = np.flatnonzero(np.diff(key)) + 1
+        for seg in np.split(np.arange(bc.size), splits):
+            h, l = int(half[seg[0]]), int(bl[seg[0]])
+            gi, gj = q[seg] // ny, q[seg] % ny
+            i0, j0 = int(gi.min()), int(gj.min())
+            ni, nj = int(gi.max()) - i0 + 1, int(gj.max()) - j0 + 1
+            expect = ((i0 + np.arange(ni))[:, None] * ny + (j0 + np.arange(nj))).ravel()
+            if seg.size != ni * nj or not np.array_equal(q[seg], expect):
+                return mesh
+            bnd.append((h, l, i0, j0, ni, nj, int(nfi + seg[0])))
+
+    if any(s is None for s in slot_off[0]) or any(s is None for s in slot_off[1]):
+        return mesh
+    mesh.shift_spec = (
+        nx,
+        ny,
+        bool(periodic),
+        (tuple(slot_off[0]), tuple(slot_off[1])),
+        tuple(colors),
+        tuple(bnd),
+    )
     return mesh

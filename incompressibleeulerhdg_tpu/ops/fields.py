@@ -101,7 +101,12 @@ def facet_eval_tables(geom, tphi):
 def _eval_side(geom, tphi, u, side):
     """Trace of a DG field on one facet side: (..., nqf, nf), FMA-unrolled."""
     oh = _side_onehot(geom, side)
-    ug = u[..., geom.fcells[side]]  # (..., nd, nf)
+    if geom.shift is not None:
+        from .structured import gather_plus, gather_minus
+
+        ug = gather_plus(geom, u) if side == 0 else gather_minus(geom, u)
+    else:
+        ug = u[..., geom.fcells[side]]  # (..., nd, nf)
     nd = tphi.shape[2]
     U = sum(oh[t][None, None, :] * tphi[t][:, :, None] for t in range(6))
     return sum(
@@ -144,6 +149,10 @@ def gather_facet_contribs(geom, c0, c1):
     :arg c0/c1: (..., nf) contributions targeting the plus / minus cell
     :returns: (..., nc) summed per cell
     """
+    if geom.shift is not None:
+        from .structured import scatter_sides_sum
+
+        return scatter_sides_sum(geom, c0, c1)
     zcat = jnp.concatenate([c0, c1], axis=-1)  # (..., 2 nf)
     out = 0.0
     for l in range(3):

@@ -193,9 +193,16 @@ def project_bdm(geom, proj, Q):
 
     # (3) gather per-cell dofs (sign-corrected to the cell's outward normal)
     #     and reconstruct
-    mf_cell = [
-        m_f[:, geom.cell_facets[l]] * geom.cfsign[l][None, :] for l in range(3)
-    ]
+    if geom.shift is not None:
+        from .structured import slot_gather
+
+        mf_cell = [
+            s * geom.cfsign[l][None, :] for l, s in enumerate(slot_gather(geom, m_f))
+        ]
+    else:
+        mf_cell = [
+            m_f[:, geom.cell_facets[l]] * geom.cfsign[l][None, :] for l in range(3)
+        ]
     dofs = jnp.concatenate(mf_cell + [im], axis=0)  # (nu, nc)
     # apply the per-class reconstruction matrices as one GEMM per class
     # (gathering (nc, n, n) blocks tile-pads ~25x in HBM on TPU)

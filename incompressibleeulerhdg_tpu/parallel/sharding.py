@@ -52,6 +52,26 @@ def shard_pytree(tree, mesh, n_cells, n_facets):
     return jax.tree_util.tree_map(put, tree)
 
 
+def _strip_structured(tree):
+    """Disable the shift-structured fast path for GSPMD-sharded runs.
+
+    The structured kernels move data with grid reshapes/slices/rolls of the
+    [lowers; uppers] cell axis; under flat contiguous cell sharding GSPMD
+    lowers those to a resharding storm (measured 5k+ all-gathers at nx=6/8
+    devices).  The gather path shards cleanly, so sharded executions use it;
+    the scalable multi-chip route is the slab-decomposed shard_map step
+    (parallel/slab.py), which keeps the structured kernels and exchanges
+    single-row halos explicitly.
+    """
+    import dataclasses
+
+    if hasattr(tree, "shift"):
+        return dataclasses.replace(tree, shift=None)
+    if hasattr(tree, "vshift"):
+        return dataclasses.replace(tree, vshift=None)
+    return tree
+
+
 def shard_discretisation(disc, mesh, *extra_trees):
     """Shard the Geom pytree (and any extra operator pytrees) over the mesh.
 
@@ -60,9 +80,9 @@ def shard_discretisation(disc, mesh, *extra_trees):
     """
     nc = disc.geom.n_cells
     nf = disc.geom.n_facets
-    out = [shard_pytree(disc.geom, mesh, nc, nf)]
+    out = [shard_pytree(_strip_structured(disc.geom), mesh, nc, nf)]
     for t in extra_trees:
-        out.append(shard_pytree(t, mesh, nc, nf))
+        out.append(shard_pytree(_strip_structured(t), mesh, nc, nf))
     return tuple(out)
 
 

@@ -100,6 +100,14 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         self._cs = build_condensed_system(disc, tau=self.tau)
         self._gtmg = build_gtmg(disc, self._cs)
 
+        # tentative-solve strength knobs (env-overridable for experiments):
+        # symmetric colored sweep + a restart long enough to avoid cycling
+        import os as _os
+
+        self.tentative_restart = int(_os.environ.get("IEHDG_TENT_RESTART", "40"))
+        self.tentative_sweeps = int(_os.environ.get("IEHDG_TENT_SWEEPS", "1"))
+        self.tentative_symmetric = _os.environ.get("IEHDG_TENT_SYM", "1") == "1"
+
         self.niter_tentative = Averager()
         self.niter_pressure = Averager()
         self.niter_final_pressure = Averager()
@@ -117,11 +125,16 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
     # above this many cells the timestep runs as a host-composed sequence of
     # jitted phases instead of one fused program: the fused step's XLA buffer
     # assignment needs ~13 GB at 512^2 k=2 and crashes the 16 GB chip at
-    # runtime, while every individual phase fits comfortably (~9 GB peak)
+    # runtime, while every individual phase fits comfortably (~9 GB peak).
+    # Overridable per instance (composite_step_cells attribute) so the test
+    # suite can exercise the composite path on small meshes.
     COMPOSITE_STEP_CELLS = 300_000
 
     def _get_step(self, f_rhs_fn, with_tracer):
-        composite = self.geom.n_cells > self.COMPOSITE_STEP_CELLS
+        threshold = getattr(self, "composite_step_cells", None)
+        if threshold is None:
+            threshold = self.COMPOSITE_STEP_CELLS
+        composite = self.geom.n_cells > threshold
         key = (id(f_rhs_fn), with_tracer, composite)
         if key not in self._step_cache:
             if composite:
@@ -134,40 +147,203 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 )
         return self._step_cache[key]
 
-    def _make_step(self, f_rhs_fn, with_tracer):
+    def _phases(self, f_rhs_fn):
+        """Shared per-phase numerics consumed by BOTH step compositions.
+
+        :meth:`_make_step` fuses these into one jitted program (scan over
+        stages); :meth:`_make_step_composite` jits them individually so the
+        peak device memory is bounded by the largest phase.  A single
+        implementation guarantees the two paths cannot drift (they are
+        parity-tested to ~1e-14 in tests/test_timesteppers.py).
+        """
+        from types import SimpleNamespace
+        import os as _os
+
         dt = self._dt
         tab = self.tableau
         s = tab.nstages
         # plain-python floats: numpy scalars are strongly typed and would
         # promote float32 state to float64 under jax_enable_x64
-        a_impl = tab.a_impl.tolist()
-        a_expl_t = tab.a_expl.tolist()
         b_expl_t = tab.b_expl.tolist()
         c_expl = tab.c_expl.tolist()
-        alpha = self._alpha.tolist()
-        beta = self._beta.tolist()
         alpha_f = self._alpha_f.tolist()
         beta_f = self._beta_f.tolist()
         upwind = self.flux == "upwind"
         pen = self.alpha_penalty
         vol = self.domain_volume
-        n_rich = self.n_richardson
-        projection = self.use_projection_method
         rtol_p = self.rtol_pressure
         rtol_t = self.rtol_tentative
+        t_restart = self.tentative_restart
+        t_sweeps = self.tentative_sweeps
+        t_sym = self.tentative_symmetric
         out_dtype = self.disc.dtype
         # the Schwarz patch factors resolve the ill-conditioned O(alpha/h)
         # penalty coupling, so they need full working precision: bf16 factors
         # (cond ~ 1/h times bf16 eps ~ O(1) patch-solve error) ballooned
         # tentative iterations 20 -> 60-210 at 384^2.  IEHDG_PC_BF16=1
         # enables the experiment anyway.
-        import os as _os
-
         pc_dtype = (
             jnp.bfloat16
             if out_dtype == jnp.float32 and _os.environ.get("IEHDG_PC_BF16") == "1"
             else None
         )
+
+        def shift(geom, p, lam):
+            m = F.integral(geom, geom.phi0, p) / vol
+            return p - m, lam - m
+
+        def interp_velocity(geom, fn):
+            x = geom.xnodes1  # (2, d1, nc)
+            fx, fy = fn(x[0], x[1])
+            return jnp.stack(jnp.broadcast_arrays(fx, fy), axis=0).astype(out_dtype)
+
+        def forcing(geom, tn):
+            """Forcing at all stage times (hdg_imex.py:554-557)."""
+            return jnp.stack(
+                [interp_velocity(geom, f_rhs_fn(tn + c_expl[j] * dt)) for j in range(s)]
+            )
+
+        def star_of(geom, proj, Q_prev):
+            """BDM projection + advecting star fields (hdg_imex.py:563-567)."""
+            return star_fields(geom, project_bdm(geom, proj, Q_prev))
+
+        def star_build(geom, proj, Q_prev, c):
+            star = star_of(geom, proj, Q_prev)
+            op = build_tentative_operator(geom, star, c, pen, upwind, pc_dtype=pc_dtype)
+            return star, op
+
+        def residual(geom, SQ, b_all, alpha_row, beta_row):
+            """Unrolled stage residual r_i (hdg_imex.py:367-391); mass is
+            linear so one application covers the whole weighted sum."""
+            return F.mass_apply(
+                geom,
+                geom.m1,
+                jnp.einsum("s,s...->...", alpha_row, SQ)
+                + dt * jnp.einsum("s,s...->...", beta_row, b_all),
+            )
+
+        def sweep(geom, cs, pc, star, op, r_i, Q_i, p_i, lam_i, c):
+            """One Richardson iteration (hdg_imex.py:568-599): tentative
+            GMRES solve -> condensed-trace pressure solve -> increment."""
+            precond = lambda v: gtmg_apply(geom, cs, pc, v)
+            # tentative rhs (hdg_imex.py:239-247)
+            b_tent = (
+                r_i
+                - F.mass_apply(geom, geom.m1, Q_i)
+                + c
+                * (
+                    f_impl_apply(geom, star, Q_i, pen, upwind)
+                    + pressure_gradient_apply(geom, p_i, lam_i)
+                )
+            )
+            dQt, n_t, rr_t = tentative_solve(
+                geom, star, b_tent, c, alpha=pen, upwind=upwind, rtol=rtol_t,
+                op=op, restart=t_restart, sweeps=t_sweeps, symmetric=t_sym,
+            )
+            # mixed-Poisson update (hdg_imex.py:177-179)
+            f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt)
+            du, dp, dlam, n_p, rr_p = pressure_solve(
+                geom, cs, jnp.zeros_like(Q_i), f_p, jnp.zeros_like(lam_i),
+                rtol=rtol_p, precond=precond,
+            )
+            dp, dlam = shift(geom, dp, dlam)  # hdg_imex.py:579
+            return (
+                Q_i + dQt + c * du,
+                p_i + dp,
+                lam_i + dlam,
+                n_t,
+                n_p,
+                jnp.maximum(rr_t, rr_p),
+            )
+
+        def final(geom, cs, pc, SQ, b_all):
+            """Final-stage mixed solve (hdg_imex.py:190-198,624)."""
+            precond = lambda v: gtmg_apply(geom, cs, pc, v)
+            alpha_fv = jnp.asarray(alpha_f, dtype=out_dtype)
+            beta_fv = jnp.asarray(beta_f, dtype=out_dtype)
+            r_fin = F.mass_apply(
+                geom,
+                geom.m1,
+                jnp.einsum("s,s...->...", alpha_fv, SQ)
+                + dt * jnp.einsum("s,s...->...", beta_fv, b_all),
+            )
+            return pressure_solve(
+                geom,
+                cs,
+                r_fin,
+                jnp.zeros((geom.d0, geom.n_cells), r_fin.dtype),
+                jnp.zeros((cs.nt, geom.n_facets), r_fin.dtype),
+                rtol=rtol_p,
+                precond=precond,
+            )
+
+        def reconstruct(geom, cs, pc, Q_new, tn):
+            """Pressure reconstruction (hdg_imex.py:200-221,628-636)."""
+            precond = lambda v: gtmg_apply(geom, cs, pc, v)
+            b_new = interp_velocity(geom, f_rhs_fn(tn + dt))
+            f_p, f_lam = pressure_reconstruction_rhs(geom, Q_new, b_new)
+            _, p_new, lam_new, n_pr, rr_pr = pressure_solve(
+                geom, cs, jnp.zeros_like(Q_new), f_p, f_lam, rtol=rtol_p,
+                precond=precond,
+            )
+            p_new, lam_new = shift(geom, p_new, lam_new)  # hdg_imex.py:637
+            return p_new, lam_new, n_pr, rr_pr
+
+        def tracer_stage(geom, cg, QS, aexp_row, Q_i):
+            """Tracer stage solve (hdg_imex.py:415-432,623): the advecting
+            stage velocity is CG-projected first (project_onto_cg=True,
+            hdg_imex.py:426-431); the advection form is linear in q, so the
+            explicit-tableau sum collapses to one application.  QS is the
+            fixed-length (s, ...) stage stack (zeros beyond stage i-1)."""
+            u_adv = cg_project_velocity(geom, cg, Q_i)
+            q_comb = jnp.einsum("s,s...->...", aexp_row, QS)
+            b_q = F.mass_apply(geom, geom.m0, QS[0])
+            b_q = b_q + dt * tracer_advection_apply(geom, q_comb, u_adv)
+            return F.mass_solve(geom, geom.m0inv, b_q)
+
+        def tracer_final(geom, cg, QS, SQ):
+            """Tracer final solve (hdg_imex.py:434-448,638-639): the
+            advecting velocity differs per stage (each CG-projected), so
+            scan over stages accumulating the explicit-tableau flux sum."""
+            b_exp_v = jnp.asarray(b_expl_t, dtype=out_dtype)
+
+            def body(acc, xs):
+                w, q_i, Q_i = xs
+                u_adv = cg_project_velocity(geom, cg, Q_i)
+                return acc + dt * w * tracer_advection_apply(geom, q_i, u_adv), None
+
+            b_q, _ = jax.lax.scan(
+                body, F.mass_apply(geom, geom.m0, QS[0]), (b_exp_v, QS, SQ)
+            )
+            return F.mass_solve(geom, geom.m0inv, b_q)
+
+        return SimpleNamespace(
+            shift=shift,
+            forcing=forcing,
+            star_of=star_of,
+            star_build=star_build,
+            residual=residual,
+            sweep=sweep,
+            final=final,
+            reconstruct=reconstruct,
+            tracer_stage=tracer_stage,
+            tracer_final=tracer_final,
+        )
+
+    def _make_step(self, f_rhs_fn, with_tracer):
+        ph = self._phases(f_rhs_fn)
+        dt = self._dt
+        tab = self.tableau
+        s = tab.nstages
+        a_impl = tab.a_impl.tolist()
+        alpha = self._alpha.tolist()
+        beta = self._beta.tolist()
+        upwind = self.flux == "upwind"
+        pen = self.alpha_penalty
+        n_rich = self.n_richardson
+        projection = self.use_projection_method
+        rtol_p = self.rtol_pressure
+        out_dtype = self.disc.dtype
 
         def step(geom, proj, cs, pc, stage_Q, stage_p, stage_lam, tn, q_tracer, cg):
             """One IMEX timestep.
@@ -179,20 +355,6 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             cg: vector CG(k+1) space for the tracer velocity projection
             (None when the tracer is off).
             """
-            precond = lambda v: gtmg_apply(geom, cs, pc, v)
-
-            def mass(u):
-                return F.mass_apply(geom, geom.m1, u)
-
-            def shift(p, lam):
-                m = F.integral(geom, geom.phi0, p) / vol
-                return p - m, lam - m
-
-            def interp_velocity(fn):
-                x = geom.xnodes1  # (2, d1, nc)
-                fx, fy = fn(x[0], x[1])
-                return jnp.stack(jnp.broadcast_arrays(fx, fy), axis=0).astype(out_dtype)
-
             # stacked stage state (s, ...): the stage loop runs under
             # lax.scan so the stage body (operator build + two nested Krylov
             # solves) is traced and XLA-compiled ONCE instead of s-1 times —
@@ -200,81 +362,44 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             SQ = jnp.stack(stage_Q)
             SP = jnp.stack(stage_p)
             SL = jnp.stack(stage_lam)
-            # forcing at all stage times (hdg_imex.py:554-557); batch-last
-            # fields are ~exact in HBM so stacking s of them is cheap
-            b_all = jnp.stack(
-                [interp_velocity(f_rhs_fn(tn + c_expl[j] * dt)) for j in range(s)]
-            )
+            b_all = ph.forcing(geom, tn)
             QS = (
-                jnp.concatenate([q_tracer[None], jnp.zeros((s - 1,) + q_tracer.shape, q_tracer.dtype)])
+                jnp.concatenate(
+                    [q_tracer[None], jnp.zeros((s - 1,) + q_tracer.shape, q_tracer.dtype)]
+                )
                 if with_tracer
                 else None
             )
 
             alpha_m = jnp.asarray(alpha, dtype=out_dtype)  # (s, s)
             beta_m = jnp.asarray(beta, dtype=out_dtype)
-            aexp_m = jnp.asarray(a_expl_t, dtype=out_dtype)
             aii = jnp.asarray([a_impl[i][i] for i in range(s)], dtype=out_dtype)
 
             def stage_body(carry, xs):
                 SQ, SP, SL, QS = carry
-                i, alpha_row, beta_row, c = xs  # i, coefficients of stage i
+                i, alpha_row, beta_row, aexp_row, c = xs  # stage-i coefficients
                 Qprev = jax.lax.dynamic_index_in_dim(SQ, i - 1, 0, keepdims=False)
-                Qstar = project_bdm(geom, proj, Qprev)
-                star = star_fields(geom, Qstar)
-                # unrolled residual r_i (hdg_imex.py:367-391); mass is linear
-                # so one application covers the whole weighted sum
-                r_i = mass(
-                    jnp.einsum("s,s...->...", alpha_row, SQ)
-                    + dt * jnp.einsum("s,s...->...", beta_row, b_all)
-                )
+                r_i = ph.residual(geom, SQ, b_all, alpha_row, beta_row)
                 Q_i = jax.lax.dynamic_index_in_dim(SQ, i, 0, keepdims=False)
                 p_i = jax.lax.dynamic_index_in_dim(SP, i, 0, keepdims=False)
                 lam_i = jax.lax.dynamic_index_in_dim(SL, i, 0, keepdims=False)
                 if projection:
-                    t_op = build_tentative_operator(
-                        geom, star, c, pen, upwind, pc_dtype=pc_dtype
-                    )
+                    star, t_op = ph.star_build(geom, proj, Qprev, c)
 
                     def richardson_sweep(rc, _):
-                        """One Richardson iteration (hdg_imex.py:568-599)."""
                         Q_i, p_i, lam_i = rc
-                        # tentative rhs (hdg_imex.py:239-247)
-                        b_tent = (
-                            r_i
-                            - mass(Q_i)
-                            + c
-                            * (
-                                f_impl_apply(geom, star, Q_i, pen, upwind)
-                                + pressure_gradient_apply(geom, p_i, lam_i)
-                            )
+                        Q_i, p_i, lam_i, n_t, n_p, rr = ph.sweep(
+                            geom, cs, pc, star, t_op, r_i, Q_i, p_i, lam_i, c
                         )
-                        dQt, n_t, rr_t = tentative_solve(
-                            geom, star, b_tent, c, alpha=pen, upwind=upwind,
-                            rtol=rtol_t, op=t_op,
-                        )
-                        # mixed-Poisson update (hdg_imex.py:177-179)
-                        f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt)
-                        du, dp, dlam, n_p, rr_p = pressure_solve(
-                            geom,
-                            cs,
-                            jnp.zeros_like(Q_i),
-                            f_p,
-                            jnp.zeros_like(lam_i),
-                            rtol=rtol_p,
-                            precond=precond,
-                        )
-                        dp, dlam = shift(dp, dlam)  # hdg_imex.py:579
-                        return (
-                            (Q_i + dQt + c * du, p_i + dp, lam_i + dlam),
-                            (n_t, n_p, rr_t, rr_p),
-                        )
+                        return (Q_i, p_i, lam_i), (n_t, n_p, rr)
 
-                    (Q_i, p_i, lam_i), (n_ts, n_ps, rr_ts, rr_ps) = jax.lax.scan(
+                    (Q_i, p_i, lam_i), (n_ts, n_ps, rrs) = jax.lax.scan(
                         richardson_sweep, (Q_i, p_i, lam_i), None, length=n_rich
                     )
-                    relres = jnp.maximum(jnp.max(rr_ts), jnp.max(rr_ps))
+                    relres = jnp.max(rrs)
                 else:
+                    star = ph.star_of(geom, proj, Qprev)
+                    precond = lambda v: gtmg_apply(geom, cs, pc, v)
                     Q_i, p_i, lam_i, n_t, n_p = monolithic_stage_solve(
                         geom,
                         cs,
@@ -289,22 +414,12 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     )
                     n_ts, n_ps = jnp.atleast_1d(n_t), jnp.atleast_1d(n_p)
                     relres = jnp.asarray(0.0, out_dtype)
-                p_i, lam_i = shift(p_i, lam_i)  # hdg_imex.py:621
+                p_i, lam_i = ph.shift(geom, p_i, lam_i)  # hdg_imex.py:621
                 SQ = jax.lax.dynamic_update_index_in_dim(SQ, Q_i, i, 0)
                 SP = jax.lax.dynamic_update_index_in_dim(SP, p_i, i, 0)
                 SL = jax.lax.dynamic_update_index_in_dim(SL, lam_i, i, 0)
                 if with_tracer:
-                    # tracer stage solve (hdg_imex.py:415-432,623); the
-                    # advecting stage velocity is CG-projected first
-                    # (project_onto_cg=True, hdg_imex.py:426-431); the
-                    # advection form is linear in q, so the explicit-tableau
-                    # sum collapses to one application
-                    u_adv = cg_project_velocity(geom, cg, Q_i)
-                    aexp_row = aexp_m[i]
-                    q_comb = jnp.einsum("s,s...->...", aexp_row, QS)
-                    b_q = F.mass_apply(geom, geom.m0, QS[0])
-                    b_q = b_q + dt * tracer_advection_apply(geom, q_comb, u_adv)
-                    q_i = F.mass_solve(geom, geom.m0inv, b_q)
+                    q_i = ph.tracer_stage(geom, cg, QS, aexp_row, Q_i)
                     QS = jax.lax.dynamic_update_index_in_dim(QS, q_i, i, 0)
                 return (SQ, SP, SL, QS), (n_ts, n_ps, relres)
 
@@ -312,6 +427,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 jnp.arange(1, s),
                 alpha_m[1:],
                 beta_m[1:],
+                jnp.asarray(tab.a_expl.tolist(), dtype=out_dtype)[1:],
                 dt * aii[1:],
             )
             (SQ, SP, SL, QS), (n_ts_all, n_ps_all, relres_stages) = jax.lax.scan(
@@ -321,53 +437,12 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             stage_p = [SP[i] for i in range(s)]
             stage_lam = [SL[i] for i in range(s)]
 
-            # final stage mixed solve (hdg_imex.py:190-198,624)
-            alpha_fv = jnp.asarray(alpha_f, dtype=out_dtype)
-            beta_fv = jnp.asarray(beta_f, dtype=out_dtype)
-            r_fin = mass(
-                jnp.einsum("s,s...->...", alpha_fv, SQ)
-                + dt * jnp.einsum("s,s...->...", beta_fv, b_all)
-            )
-            Q_new, p_new, lam_new, n_fp, rr_fp = pressure_solve(
-                geom,
-                cs,
-                r_fin,
-                jnp.zeros((geom.d0, geom.n_cells), r_fin.dtype),
-                jnp.zeros((cs.nt, geom.n_facets), r_fin.dtype),
-                rtol=rtol_p,
-                precond=precond,
-            )
+            Q_new, p_new, lam_new, n_fp, rr_fp = ph.final(geom, cs, pc, SQ, b_all)
+            p_new, lam_new, n_pr, rr_pr = ph.reconstruct(geom, cs, pc, Q_new, tn)
 
-            # pressure reconstruction (hdg_imex.py:200-221,628-636)
-            b_new = interp_velocity(f_rhs_fn(tn + dt))
-            f_p, f_lam = pressure_reconstruction_rhs(geom, Q_new, b_new)
-            _, p_new, lam_new, n_pr, rr_pr = pressure_solve(
-                geom, cs, jnp.zeros_like(Q_new), f_p, f_lam, rtol=rtol_p,
-                precond=precond,
-            )
-            p_new, lam_new = shift(p_new, lam_new)  # hdg_imex.py:637
-
-            # tracer final solve (hdg_imex.py:434-448,638-639): the advecting
-            # velocity differs per stage (each CG-projected), so scan over
-            # stages accumulating the explicit-tableau flux sum
             q_new = None
             if with_tracer:
-                b_exp_v = jnp.asarray(b_expl_t, dtype=out_dtype)
-
-                def tracer_final_body(acc, xs):
-                    w, q_i, Q_i = xs
-                    u_adv = cg_project_velocity(geom, cg, Q_i)
-                    return (
-                        acc + dt * w * tracer_advection_apply(geom, q_i, u_adv),
-                        None,
-                    )
-
-                b_q, _ = jax.lax.scan(
-                    tracer_final_body,
-                    F.mass_apply(geom, geom.m0, QS[0]),
-                    (b_exp_v, QS, SQ),
-                )
-                q_new = F.mass_solve(geom, geom.m0inv, b_q)
+                q_new = ph.tracer_final(geom, cg, QS, SQ)
 
             stage_Q[0], stage_p[0], stage_lam[0] = Q_new, p_new, lam_new
             counts = dict(
@@ -386,9 +461,9 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         return step
 
     def _make_step_composite(self, f_rhs_fn, with_tracer):
-        """Host-composed timestep: the same numerics as :meth:`_make_step`,
-        dispatched as separate jitted phases (per-stage operator build,
-        Richardson sweep, final/reconstruction pressure solves, tracer).
+        """Host-composed timestep: the same numerics as :meth:`_make_step`
+        (literally the same :meth:`_phases` closures), dispatched as
+        separate jitted phases.
 
         Dispatch overhead is milliseconds against multi-second steps; in
         exchange the peak device memory is bounded by the largest phase
@@ -397,151 +472,47 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         """
         import os as _os
 
+        ph = self._phases(f_rhs_fn)
         dt = self._dt
         tab = self.tableau
         s = tab.nstages
         a_impl = tab.a_impl.tolist()
-        b_expl_t = tab.b_expl.tolist()
-        c_expl = tab.c_expl.tolist()
         alpha = jnp.asarray(self._alpha.tolist(), dtype=self.disc.dtype)
         beta = jnp.asarray(self._beta.tolist(), dtype=self.disc.dtype)
-        alpha_f = jnp.asarray(self._alpha_f.tolist(), dtype=self.disc.dtype)
-        beta_f = jnp.asarray(self._beta_f.tolist(), dtype=self.disc.dtype)
         aexp = jnp.asarray(tab.a_expl.tolist(), dtype=self.disc.dtype)
-        upwind = self.flux == "upwind"
-        pen = self.alpha_penalty
-        vol = self.domain_volume
-        n_rich = self.n_richardson
-        rtol_p = self.rtol_pressure
-        rtol_t = self.rtol_tentative
         out_dtype = self.disc.dtype
+        n_rich = self.n_richardson
         if not self.use_projection_method:
             raise NotImplementedError(
                 "the monolithic branch above the composite-step size threshold "
                 "is not supported; use the projection method (driver default)"
             )
 
-        def shift(geom, p, lam):
-            m = F.integral(geom, geom.phi0, p) / vol
-            return p - m, lam - m
-
-        def interp_velocity(geom, fn):
-            x = geom.xnodes1
-            fx, fy = fn(x[0], x[1])
-            return jnp.stack(jnp.broadcast_arrays(fx, fy), axis=0).astype(out_dtype)
-
-        @jax.jit
-        def j_forcing(geom, tn):
-            return jnp.stack(
-                [
-                    interp_velocity(geom, f_rhs_fn(tn + c_expl[j] * dt))
-                    for j in range(s)
-                ]
+        j_forcing = jax.jit(ph.forcing)
+        j_star_build = jax.jit(ph.star_build)
+        j_residual = jax.jit(
+            lambda geom, stage_Q, b_all, ar, br: ph.residual(
+                geom, jnp.stack(stage_Q), b_all, ar, br
             )
-
-        @jax.jit
-        def j_star_build(geom, proj, Q_prev, c):
-            Qstar = project_bdm(geom, proj, Q_prev)
-            star = star_fields(geom, Qstar)
-            op = build_tentative_operator(geom, star, c, pen, upwind)
-            return star, op
-
-        @jax.jit
-        def j_residual(geom, stage_Q, b_all, alpha_row, beta_row):
-            SQ = jnp.stack(stage_Q)
-            return F.mass_apply(
-                geom,
-                geom.m1,
-                jnp.einsum("s,s...->...", alpha_row, SQ)
-                + dt * jnp.einsum("s,s...->...", beta_row, b_all),
+        )
+        j_sweep = jax.jit(ph.sweep)
+        j_shift = jax.jit(ph.shift)
+        j_final = jax.jit(
+            lambda geom, cs, pc, stage_Q, b_all: ph.final(
+                geom, cs, pc, jnp.stack(stage_Q), b_all
             )
-
-        @jax.jit
-        def j_sweep(geom, cs, pc, star, op, r_i, Q_i, p_i, lam_i, c):
-            precond = lambda v: gtmg_apply(geom, cs, pc, v)
-            b_tent = (
-                r_i
-                - F.mass_apply(geom, geom.m1, Q_i)
-                + c
-                * (
-                    f_impl_apply(geom, star, Q_i, pen, upwind)
-                    + pressure_gradient_apply(geom, p_i, lam_i)
-                )
+        )
+        j_reconstruct = jax.jit(ph.reconstruct)
+        j_tracer_stage = jax.jit(
+            lambda geom, cg, q_stages, row, Q_i: ph.tracer_stage(
+                geom, cg, jnp.stack(q_stages), row, Q_i
             )
-            dQt, n_t, rr_t = tentative_solve(
-                geom, star, b_tent, c, alpha=pen, upwind=upwind, rtol=rtol_t,
-                op=op,
+        )
+        j_tracer_final = jax.jit(
+            lambda geom, cg, q_stages, stage_Q: ph.tracer_final(
+                geom, cg, jnp.stack(q_stages), jnp.stack(stage_Q)
             )
-            f_p = (-1.0 / c) * weak_divergence_apply(geom, dQt)
-            du, dp, dlam, n_p, rr_p = pressure_solve(
-                geom, cs, jnp.zeros_like(Q_i), f_p, jnp.zeros_like(lam_i),
-                rtol=rtol_p, precond=precond,
-            )
-            dp, dlam = shift(geom, dp, dlam)
-            return (
-                Q_i + dQt + c * du,
-                p_i + dp,
-                lam_i + dlam,
-                n_t,
-                n_p,
-                jnp.maximum(rr_t, rr_p),
-            )
-
-        @jax.jit
-        def j_shift(geom, p_i, lam_i):
-            return shift(geom, p_i, lam_i)
-
-        @jax.jit
-        def j_final(geom, cs, pc, stage_Q, b_all):
-            precond = lambda v: gtmg_apply(geom, cs, pc, v)
-            SQ = jnp.stack(stage_Q)
-            r_fin = F.mass_apply(
-                geom,
-                geom.m1,
-                jnp.einsum("s,s...->...", alpha_f, SQ)
-                + dt * jnp.einsum("s,s...->...", beta_f, b_all),
-            )
-            Q_new, p_new, lam_new, n_fp, rr_fp = pressure_solve(
-                geom,
-                cs,
-                r_fin,
-                jnp.zeros((geom.d0, geom.n_cells), r_fin.dtype),
-                jnp.zeros((cs.nt, geom.n_facets), r_fin.dtype),
-                rtol=rtol_p,
-                precond=precond,
-            )
-            return Q_new, p_new, lam_new, n_fp, rr_fp
-
-        @jax.jit
-        def j_reconstruct(geom, cs, pc, Q_new, tn):
-            precond = lambda v: gtmg_apply(geom, cs, pc, v)
-            b_new = interp_velocity(geom, f_rhs_fn(tn + dt))
-            f_p, f_lam = pressure_reconstruction_rhs(geom, Q_new, b_new)
-            _, p_new, lam_new, n_pr, rr_pr = pressure_solve(
-                geom, cs, jnp.zeros_like(Q_new), f_p, f_lam, rtol=rtol_p,
-                precond=precond,
-            )
-            p_new, lam_new = shift(geom, p_new, lam_new)
-            return p_new, lam_new, n_pr, rr_pr
-
-        @jax.jit
-        def j_tracer_stage(geom, cg, q_stages, aexp_row, Q_i):
-            u_adv = cg_project_velocity(geom, cg, Q_i)
-            q_comb = jnp.einsum("s,s...->...", aexp_row, jnp.stack(q_stages))
-            b_q = F.mass_apply(geom, geom.m0, q_stages[0])
-            b_q = b_q + dt * tracer_advection_apply(geom, q_comb, u_adv)
-            return F.mass_solve(geom, geom.m0inv, b_q)
-
-        @jax.jit
-        def j_tracer_final(geom, cg, q_stages, stage_Q):
-            b_q = F.mass_apply(geom, geom.m0, q_stages[0])
-            for i in range(s):
-                if b_expl_t[i] != 0:
-                    u_adv = cg_project_velocity(geom, cg, stage_Q[i])
-                    b_q = b_q + dt * b_expl_t[i] * tracer_advection_apply(
-                        geom, q_stages[i], u_adv
-                    )
-            return F.mass_solve(geom, geom.m0inv, b_q)
+        )
 
         phase_timing = _os.environ.get("IEHDG_PHASE_TIMING") == "1"
 
@@ -562,7 +533,13 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 return out
 
             b_all = mark("forcing", j_forcing(geom, tn))
-            q_stages = [q_tracer] if with_tracer else None
+            # fixed-length zero-padded tracer stage stack, matching the
+            # fused step's QS exactly
+            q_stages = (
+                [q_tracer] + [jnp.zeros_like(q_tracer)] * (s - 1)
+                if with_tracer
+                else None
+            )
             its_tent, its_p, relres = [], [], []
             for i in range(1, s):
                 c = jnp.asarray(a_impl[i][i] * dt, dtype=out_dtype)
@@ -585,10 +562,8 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 p_i, lam_i = j_shift(geom, p_i, lam_i)
                 stage_Q[i], stage_p[i], stage_lam[i] = Q_i, p_i, lam_i
                 if q_stages is not None:
-                    q_stages.append(
-                        j_tracer_stage(
-                            geom, cg, tuple(q_stages), aexp[i][: len(q_stages)], Q_i
-                        )
+                    q_stages[i] = j_tracer_stage(
+                        geom, cg, tuple(q_stages), aexp[i], Q_i
                     )
 
             Q_new, p_new, lam_new, n_fp, rr_fp = mark(

@@ -1,0 +1,214 @@
+"""Parity tests: shift-structured facet<->cell moves vs the gather path.
+
+The structured primitives (ops/structured.py) must reproduce the generic
+index-table semantics exactly — same values, same facet/cell ordering — on
+both Neumann and periodic structured meshes; the disk mesh must fall back
+(shift is None) and keep working.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from incompressibleeulerhdg_tpu.mesh.generators import (
+    unit_square_mesh,
+    periodic_square_mesh,
+    unit_disk_mesh,
+)
+from incompressibleeulerhdg_tpu.fem.discretisation import HDGDiscretisation
+from incompressibleeulerhdg_tpu.ops import structured as st
+from incompressibleeulerhdg_tpu.ops.projection import build_bdm_projection, project_bdm
+from incompressibleeulerhdg_tpu.linalg.preconditioners import (
+    build_tentative_operator,
+    tentative_operator_matvec,
+    tentative_colored_apply,
+)
+from incompressibleeulerhdg_tpu.linalg.condense import (
+    build_condensed_system,
+    trace_matvec,
+    condense_rhs,
+    back_substitute,
+)
+from incompressibleeulerhdg_tpu.ops.forms import star_fields
+
+
+MESHES = {
+    "square": lambda: unit_square_mesh(6, 5),
+    "periodic": lambda: periodic_square_mesh(4, 5),
+}
+
+
+def _disc(name, degree=1):
+    return HDGDiscretisation(MESHES[name](), degree, dtype=jnp.float64)
+
+
+def _unshifted(geom):
+    return dataclasses.replace(geom, shift=None)
+
+
+@pytest.mark.parametrize("name", list(MESHES))
+def test_primitives_match_index_tables(name):
+    disc = _disc(name)
+    geom = disc.geom
+    m = disc.mesh
+    assert geom.shift is not None
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((4, m.n_cells)))
+    gf = jnp.asarray(rng.standard_normal((2, m.n_facets)))
+
+    # gather_plus / gather_minus vs facet_cells
+    ref_plus = np.asarray(u)[:, m.facet_cells[:, 0]]
+    got_plus = np.asarray(st.gather_plus(geom, u))
+    assert np.allclose(got_plus, ref_plus, atol=1e-14)
+
+    mc = m.facet_cells[:, 1]
+    ref_minus = np.where(mc[None, :] >= 0, np.asarray(u)[:, np.maximum(mc, 0)], 0.0)
+    got_minus = np.asarray(st.gather_minus(geom, u))
+    assert np.allclose(got_minus, ref_minus, atol=1e-14)
+
+    # scatter_sides_sum adjoint of (gather_plus, gather_minus)
+    c0 = np.asarray(gf)
+    c1 = rng.standard_normal(gf.shape)
+    ref = np.zeros((2, m.n_cells))
+    for f in range(m.n_facets):
+        ref[:, m.facet_cells[f, 0]] += c0[:, f]
+        if m.facet_cells[f, 1] >= 0:
+            ref[:, m.facet_cells[f, 1]] += c1[:, f]
+    got = np.asarray(st.scatter_sides_sum(geom, jnp.asarray(c0), jnp.asarray(c1)))
+    assert np.allclose(got, ref, atol=1e-13)
+
+    # slot_gather / slot_scatter vs cell_facets
+    slots = st.slot_gather(geom, gf)
+    for l in range(3):
+        ref_l = np.asarray(gf)[:, m.cell_facets[:, l]]
+        assert np.allclose(np.asarray(slots[l]), ref_l, atol=1e-14)
+    y = [jnp.asarray(rng.standard_normal((2, m.n_cells))) for _ in range(3)]
+    ref_s = np.zeros((2, m.n_facets))
+    for c in range(m.n_cells):
+        for l in range(3):
+            ref_s[:, m.cell_facets[c, l]] += np.asarray(y[l])[:, c]
+    got_s = np.asarray(st.slot_scatter(geom, y))
+    assert np.allclose(got_s, ref_s, atol=1e-13)
+
+
+@pytest.mark.parametrize("name", list(MESHES))
+@pytest.mark.parametrize("degree", [1, 2])
+def test_tentative_operator_parity(name, degree):
+    disc = _disc(name, degree)
+    geom = disc.geom
+    geom0 = _unshifted(geom)
+    rng = np.random.default_rng(7)
+    Q = jnp.asarray(rng.standard_normal((2, geom.d1, geom.n_cells)))
+    star = star_fields(geom0, Q)
+    c = 0.01
+
+    op_s = build_tentative_operator(geom, star, c, 1.0, True)
+    op_g = build_tentative_operator(geom0, star, c, 1.0, True)
+    assert op_s.Dinv0 is None and op_g.Dinv0 is not None
+    for fld in ("D", "Bx", "Cx", "Dinv", "Sinv"):
+        a, b = np.asarray(getattr(op_s, fld)), np.asarray(getattr(op_g, fld))
+        assert np.allclose(a, b, atol=1e-11), fld
+
+    u = jnp.asarray(rng.standard_normal(Q.shape))
+    mv_s = np.asarray(tentative_operator_matvec(geom, op_s, u))
+    mv_g = np.asarray(tentative_operator_matvec(geom0, op_g, u))
+    assert np.allclose(mv_s, mv_g, atol=1e-11)
+
+    ca_s = np.asarray(tentative_colored_apply(geom, op_s, u))
+    ca_g = np.asarray(tentative_colored_apply(geom0, op_g, u))
+    assert np.allclose(ca_s, ca_g, atol=1e-11)
+
+
+@pytest.mark.parametrize("name", list(MESHES))
+def test_condensed_system_parity(name):
+    disc = _disc(name, 1)
+    geom = disc.geom
+    geom0 = _unshifted(geom)
+    cs = build_condensed_system(disc, tau=1.0)
+    rng = np.random.default_rng(11)
+    lam = jnp.asarray(rng.standard_normal((cs.nt, geom.n_facets)))
+    assert np.allclose(
+        np.asarray(trace_matvec(geom, cs, lam)),
+        np.asarray(trace_matvec(geom0, cs, lam)),
+        atol=1e-12,
+    )
+    f_u = jnp.asarray(rng.standard_normal((2, geom.d1, geom.n_cells)))
+    f_p = jnp.asarray(rng.standard_normal((geom.d0, geom.n_cells)))
+    f_l = jnp.asarray(rng.standard_normal((cs.nt, geom.n_facets)))
+    assert np.allclose(
+        np.asarray(condense_rhs(geom, cs, f_u, f_p, f_l)),
+        np.asarray(condense_rhs(geom0, cs, f_u, f_p, f_l)),
+        atol=1e-12,
+    )
+    u_s, p_s = back_substitute(geom, cs, f_u, f_p, lam)
+    u_g, p_g = back_substitute(geom0, cs, f_u, f_p, lam)
+    assert np.allclose(np.asarray(u_s), np.asarray(u_g), atol=1e-12)
+    assert np.allclose(np.asarray(p_s), np.asarray(p_g), atol=1e-12)
+
+
+@pytest.mark.parametrize("name", list(MESHES))
+def test_projection_and_forms_parity(name):
+    from incompressibleeulerhdg_tpu.ops.forms import (
+        f_impl_apply,
+        weak_divergence_apply,
+        reconstruct_trace_rhs,
+    )
+
+    disc = _disc(name, 1)
+    geom = disc.geom
+    geom0 = _unshifted(geom)
+    proj = build_bdm_projection(disc)
+    rng = np.random.default_rng(13)
+    Q = jnp.asarray(rng.standard_normal((2, geom.d1, geom.n_cells)))
+    p = jnp.asarray(rng.standard_normal((geom.d0, geom.n_cells)))
+    assert np.allclose(
+        np.asarray(project_bdm(geom, proj, Q)),
+        np.asarray(project_bdm(geom0, proj, Q)),
+        atol=1e-12,
+    )
+    star_s = star_fields(geom, Q)
+    star_g = star_fields(geom0, Q)
+    assert np.allclose(np.asarray(star_s[1]), np.asarray(star_g[1]), atol=1e-12)
+    assert np.allclose(
+        np.asarray(f_impl_apply(geom, star_s, Q, 1.0, True)),
+        np.asarray(f_impl_apply(geom0, star_g, Q, 1.0, True)),
+        atol=1e-11,
+    )
+    assert np.allclose(
+        np.asarray(weak_divergence_apply(geom, Q)),
+        np.asarray(weak_divergence_apply(geom0, Q)),
+        atol=1e-12,
+    )
+    assert np.allclose(
+        np.asarray(reconstruct_trace_rhs(geom, Q, p)),
+        np.asarray(reconstruct_trace_rhs(geom0, Q, p)),
+        atol=1e-12,
+    )
+
+
+def test_gtmg_transfer_parity():
+    """Structured restrict/prolong (vertex-grid slices/rolls) match the
+    padded-adjacency gather path on the Neumann mesh."""
+    from incompressibleeulerhdg_tpu.linalg.gtmg import build_gtmg, prolong, restrict
+
+    disc = _disc("square", 1)
+    cs = build_condensed_system(disc, tau=1.0)
+    pc = build_gtmg(disc, cs)
+    assert pc.vshift is not None
+    pc0 = dataclasses.replace(pc, vshift=None)
+    rng = np.random.default_rng(17)
+    zc = jnp.asarray(rng.standard_normal(pc.n_vertices))
+    assert np.allclose(np.asarray(prolong(pc, zc)), np.asarray(prolong(pc0, zc)), atol=1e-13)
+    lam = jnp.asarray(rng.standard_normal((cs.nt, disc.mesh.n_facets)))
+    assert np.allclose(
+        np.asarray(restrict(pc, lam)), np.asarray(restrict(pc0, lam)), atol=1e-12
+    )
+
+
+def test_disk_mesh_falls_back():
+    m = unit_disk_mesh(1)
+    assert getattr(m, "shift_spec", None) is None
+    disc = HDGDiscretisation(m, 1, dtype=jnp.float64)
+    assert disc.geom.shift is None

@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_default_matmul_precision", "highest")
+os.makedirs("/root/.cache/jax", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from incompressibleeulerhdg_tpu.mesh.generators import unit_square_mesh
 from incompressibleeulerhdg_tpu.fem.discretisation import HDGDiscretisation
@@ -44,15 +47,35 @@ from incompressibleeulerhdg_tpu.linalg.pressure import pressure_solve
 from incompressibleeulerhdg_tpu.linalg.gtmg import gtmg_apply
 
 
+_fetch_fn = jax.jit(lambda t: t.ravel()[:4].astype(jnp.float32).sum())
+
+
+def _sync(out):
+    """Force completion: jax.block_until_ready does NOT reliably block on the
+    axon (tunneled TPU) backend; a device->host fetch of a tiny jitted
+    reduction does."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(_fetch_fn(leaf))
+
+
 def timeit(name, fn, *args, n=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
+    # measure the per-dispatch + fetch floor so it can be subtracted; calls
+    # are synced one by one (queueing N big intermediates OOMs at 512^2)
+    probe = jnp.zeros(8, jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _sync(probe)
+    floor = (time.perf_counter() - t0) / 5
     t0 = time.perf_counter()
     for _ in range(n):
+        out = None  # free the previous result's device buffers first:
+        # keeping two multi-GB results + workspace live OOMs at 512^2
         out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:>42s} : {dt*1e3:9.2f} ms")
+        _sync(out)
+    dt = (time.perf_counter() - t0) / n - floor
+    print(f"{name:>42s} : {dt*1e3:9.2f} ms   (floor {floor*1e3:.1f} ms)")
     return out
 
 
@@ -93,6 +116,16 @@ def main():
     j_patch = jax.jit(lambda g, op, u: tentative_patch_apply(g, op, u))
     timeit("tentative patch apply", j_patch, geom, t_op, Q0, n=20)
 
+    from incompressibleeulerhdg_tpu.linalg.preconditioners import (
+        tentative_colored_apply,
+    )
+    j_col = jax.jit(lambda g, op, u: tentative_colored_apply(g, op, u))
+    timeit("tentative colored apply", j_col, geom, t_op, Q0, n=20)
+
+    from incompressibleeulerhdg_tpu.linalg.condense import trace_matvec
+    j_tmv = jax.jit(lambda g, c_, l: trace_matvec(g, c_, l))
+    timeit("trace matvec", j_tmv, geom, cs, lam0, n=20)
+
     j_fimpl = jax.jit(lambda g, s, u: f_impl_apply(g, s, u, pen, True))
     timeit("f_impl_apply (weak form)", j_fimpl, geom, star, Q0)
 
@@ -110,7 +143,7 @@ def main():
             g, s, b, c, alpha=pen, upwind=True, rtol=1e-6, op=op
         )
     )
-    u, its = timeit("tentative_solve (full)", j_tent, geom, star, b_tent, t_op, n=3)
+    u, its, _rr = timeit("tentative_solve (full)", j_tent, geom, star, b_tent, t_op, n=3)
     print(f"{'tentative iters':>42s} : {int(its)}")
 
     j_gtmg = jax.jit(lambda g, c_, p_, v: gtmg_apply(g, c_, p_, v))
