@@ -76,6 +76,8 @@ __all__ = ["Geom", "HDGDiscretisation"]
         "fcol_pos",
         "fcol_side",
         "fcol_mask",
+        "fint",
+        "fvalid",
     ],
     meta_fields=["n_int", "degree", "fcol_bounds", "fcol_orphans", "shift"],
 )
@@ -135,6 +137,15 @@ class Geom:
     fcol_pos: jnp.ndarray = None  # (ncol, nc) int32
     fcol_side: jnp.ndarray = None  # (ncol, nc) int32
     fcol_mask: jnp.ndarray = None  # (ncol, nc) float
+
+    # optional explicit interior-facet mask (nf,); None means "the first
+    # n_int facets are interior" (the global layouts).  Slab-local layouts
+    # (parallel/slab.py) store it explicitly.
+    fint: jnp.ndarray = None
+    # optional validity mask (nf,) zeroing DUMMY facet positions of the
+    # uniform slab-local layout (positions that exist for shape uniformity
+    # across shard_map devices but correspond to no physical facet)
+    fvalid: jnp.ndarray = None
 
     # static metadata
     n_int: int = 0
@@ -273,6 +284,9 @@ class HDGDiscretisation:
             shift=getattr(m, "shift_spec", None),
         )
         self.geom = jax.device_put(geom_host)
+        # host (numpy) copy retained for setup-time consumers — the slab
+        # decomposition reindexes it without device round trips
+        self._geom_host = geom_host
 
         self.domain_volume = m.domain_volume
 

@@ -187,7 +187,9 @@ def _facets_from_cells(geom, y_c):
 
         return slot_scatter(geom, [y_c[l * nt : (l + 1) * nt] for l in range(3)])
     fl = geom.ftab // 2  # (2, nf) local facet index per side
-    msk = (jnp.arange(geom.n_facets) < geom.n_int).astype(y_c.dtype)[None, :]
+    from ..ops.fields import interior_mask
+
+    msk = interior_mask(geom, 2).astype(y_c.dtype)
     out = 0.0
     for l in range(3):
         sel0 = (fl[0] == l).astype(y_c.dtype)[None, :]

@@ -60,6 +60,7 @@ __all__ = ["TwoLevelTracePC", "build_gtmg", "gtmg_apply"]
         "grid_shape",
         "fft_f32",
         "vshift",
+        "dist",
     ],
 )
 @dataclass
@@ -84,6 +85,12 @@ class TwoLevelTracePC:
     # group's endpoint vertices to constant vertex-grid offsets — turns
     # restrict/prolong into slices/rolls (None: padded-adjacency gathers)
     vshift: tuple = None
+    # slab-decomposed transfers (parallel/slab.py):
+    # (axis_name, n_slabs, Mx, My, canvas_rows, local_groups) — restrict
+    # accumulates into a local (canvas_rows, My) vertex canvas, embeds it at
+    # the slab's row offset and psums to a replicated global residual; the
+    # coarse FFT solve then runs replicated and prolong slices it back
+    dist: tuple = None
     n_vertices: int = 0
     coarse_kind: str = "cheb"  # "cheb" | "fft_neumann" | "fft_periodic"
     grid_shape: tuple = None
@@ -412,7 +419,25 @@ def prolong(pc, zc):
 
     (nv,) -> (nt, nf).  Structured meshes read the endpoint values as
     slices/rolls of the vertex grid (vshift); otherwise two (nf,) gathers.
+    Slab-decomposed runs slice the slab's rows out of the replicated global
+    coarse solution first.
     """
+    if pc.dist is not None:
+        from ..ops.structured import shift2, rect_flat
+
+        axis_name, n_slabs, Mx, My, crows, groups = pc.dist
+        zg = zc.reshape(Mx, My)  # replicated global coarse solution
+        row0 = jax.lax.axis_index(axis_name) * (crows - 1)
+        local = jax.lax.dynamic_slice(zg, (row0, jnp.int32(0)), (crows, My))
+        lo_parts, hi_parts = [], []
+        for (f0, f1, i0, j0, ni, nj, dlo, dhi) in groups:
+            rect = (i0, j0, ni, nj)
+            lo_parts.append(rect_flat(shift2(local, dlo, False), rect))
+            hi_parts.append(rect_flat(shift2(local, dhi, False), rect))
+        lo = jnp.concatenate(lo_parts)
+        hi = jnp.concatenate(hi_parts)
+        s = pc.trace_nodes[:, None]
+        return lo[None, :] * (1.0 - s) + hi[None, :] * s
     if pc.vshift is not None:
         from ..ops.structured import shift2, rect_flat
 
@@ -441,6 +466,24 @@ def restrict(pc, lam):
     s = pc.trace_nodes[:, None]
     a_lo = jnp.sum(lam * (1.0 - s), axis=0)  # (nf,)
     a_hi = jnp.sum(lam * s, axis=0)
+    if pc.dist is not None:
+        from ..ops.structured import shift2
+
+        axis_name, n_slabs, Mx, My, crows, groups = pc.dist
+        canvas = jnp.zeros((crows, My), lam.dtype)
+        for (f0, f1, i0, j0, ni, nj, dlo, dhi) in groups:
+            for arr, d in ((a_lo, dlo), (a_hi, dhi)):
+                seg = arr[f0:f1].reshape(ni, nj)
+                pad = jnp.pad(seg, ((i0, crows - i0 - ni), (j0, My - j0 - nj)))
+                # facet p contributes to canvas vertex p + d
+                canvas = canvas + shift2(pad, (-d[0], -d[1]), False)
+        row0 = jax.lax.axis_index(axis_name) * (crows - 1)
+        glob = jax.lax.dynamic_update_slice(
+            jnp.zeros((Mx, My), lam.dtype), canvas, (row0, jnp.int32(0))
+        )
+        # shared slab-interface vertex rows are resolved by the sum; the
+        # result is the REPLICATED global coarse residual (1 MB at 512^2)
+        return jax.lax.psum(glob, axis_name).ravel()
     if pc.vshift is not None:
         from ..ops.structured import shift2
 
@@ -484,7 +527,10 @@ def gtmg_apply(geom, cs, pc, r_flat):
     rc = restrict(pc, r - A(z))
 
     zc = _coarse_solve(pc, rc)
-    z = z + prolong(pc, zc)
+    pr = prolong(pc, zc)
+    if getattr(geom, "fvalid", None) is not None:
+        pr = pr * geom.fvalid  # dummy facet positions of slab-local layouts
+    z = z + pr
     # post-smooth
     z = z + _chebyshev(A, Dinv, r - A(z), pc.cheb_fine, pc.lmax_fine)
     return (pc.sign * z).ravel()

@@ -19,11 +19,30 @@ from jax import lax
 __all__ = ["gmres", "fgmres", "cg", "deflate_constant"]
 
 
-def deflate_constant(nullvec):
-    """Return a projector v -> v - (nullvec . v) nullvec for a unit nullvec."""
+def _pdot(a, b, axis_name):
+    """Inner product, psum-reduced over a shard_map axis when given.
+
+    Vectors inside the slab-decomposed distributed solve are the LOCAL
+    shards; every Krylov inner product must be a global reduction
+    (the ``assemble(p*dx)``/VecDot analogue of the reference's PETSc-MPI
+    layer, SURVEY.md section 5.8).
+    """
+    d = jnp.dot(a, b)
+    return lax.psum(d, axis_name) if axis_name is not None else d
+
+
+def _pnorm(a, axis_name):
+    if axis_name is None:
+        return jnp.linalg.norm(a)
+    return jnp.sqrt(lax.psum(jnp.dot(a, a), axis_name))
+
+
+def deflate_constant(nullvec, axis_name=None):
+    """Return a projector v -> v - (nullvec . v) nullvec for a unit nullvec
+    (unit in the GLOBAL norm when distributed)."""
 
     def proj(v):
-        return v - nullvec * jnp.dot(nullvec, v)
+        return v - nullvec * _pdot(nullvec, v, axis_name)
 
     return proj
 
@@ -43,6 +62,7 @@ def gmres(
     restart=30,
     maxiter=200,
     project=None,
+    axis_name=None,
 ):
     """Left-preconditioned restarted GMRES.
 
@@ -65,7 +85,7 @@ def gmres(
 
     b = project(b)
     Mb = M(b)
-    target = jnp.maximum(rtol * jnp.linalg.norm(Mb), atol).astype(dtype)
+    target = jnp.maximum(rtol * _pnorm(Mb, axis_name), atol).astype(dtype)
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
     def op(v):
@@ -76,7 +96,7 @@ def gmres(
     def cycle(x):
         """One GMRES(m) cycle; returns (x_new, res_norm, inner_iters)."""
         r = M(project(b - matvec(x)))
-        beta = jnp.linalg.norm(r)
+        beta = _pnorm(r, axis_name)
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(r / jnp.maximum(beta, tiny))
         R = jnp.zeros((m, m), dtype)  # triangularised Hessenberg columns
@@ -87,11 +107,15 @@ def gmres(
         def arnoldi_step(state):
             V, R, cs, sn, g, j, res = state
             w = op(V[j])
-            # modified Gram-Schmidt as masked dense products
+            # modified Gram-Schmidt as masked dense products (the V @ w
+            # basis dots are global reductions when distributed)
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = (V @ w) * mask
+            h = V @ w
+            if axis_name is not None:
+                h = lax.psum(h, axis_name)
+            h = h * mask
             w = w - V.T @ h
-            hnext = jnp.linalg.norm(w)
+            hnext = _pnorm(w, axis_name)
             V = V.at[j + 1].set(w / jnp.maximum(hnext, tiny))
             h = h.at[j + 1].set(hnext)
 
@@ -155,7 +179,7 @@ def gmres(
         outer_step,
         (x0, jnp.asarray(jnp.inf, dtype), jnp.int32(0), jnp.int32(1)),
     )
-    relres = res / jnp.maximum(jnp.linalg.norm(Mb), tiny)
+    relres = res / jnp.maximum(_pnorm(Mb, axis_name), tiny)
     return x, iters, relres
 
 
@@ -170,6 +194,7 @@ def fgmres(
     restart=30,
     maxiter=200,
     project=None,
+    axis_name=None,
 ):
     """Flexible (right-preconditioned) restarted GMRES.
 
@@ -189,14 +214,14 @@ def fgmres(
     m = restart
     dtype = b.dtype
     b = project(b)
-    bnorm = jnp.linalg.norm(b)
+    bnorm = _pnorm(b, axis_name)
     target = jnp.maximum(rtol * bnorm, atol).astype(dtype)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
 
     def cycle(x):
         r = project(b - matvec(x))
-        beta = jnp.linalg.norm(r)
+        beta = _pnorm(r, axis_name)
         V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, tiny))
         Zb = jnp.zeros((m, n), dtype)
         R = jnp.zeros((m, m), dtype)
@@ -210,9 +235,12 @@ def fgmres(
             w = project(matvec(z))
             Zb = Zb.at[j].set(z)
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = (V @ w) * mask
+            h = V @ w
+            if axis_name is not None:
+                h = lax.psum(h, axis_name)
+            h = h * mask
             w = w - V.T @ h
-            hnext = jnp.linalg.norm(w)
+            hnext = _pnorm(w, axis_name)
             V = V.at[j + 1].set(w / jnp.maximum(hnext, tiny))
             h = h.at[j + 1].set(hnext)
 
@@ -267,7 +295,7 @@ def fgmres(
     return x, iters, res / jnp.maximum(bnorm, tiny)
 
 
-def cg(matvec, b, *, M=None, x0=None, rtol=1e-12, atol=0.0, maxiter=500, project=None):
+def cg(matvec, b, *, M=None, x0=None, rtol=1e-12, atol=0.0, maxiter=500, project=None, axis_name=None):
     """Preconditioned conjugate gradients with iteration count.
 
     Convergence on the unpreconditioned residual 2-norm.
@@ -276,31 +304,31 @@ def cg(matvec, b, *, M=None, x0=None, rtol=1e-12, atol=0.0, maxiter=500, project
     M = M or _identity
     project = project or _identity
     b = project(b)
-    bnorm = jnp.linalg.norm(b)
+    bnorm = _pnorm(b, axis_name)
     target = jnp.maximum(rtol * bnorm, atol)
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
     r = project(b - matvec(x0))
     z = project(M(r))
     p = z
-    rz = jnp.dot(r, z)
+    rz = _pdot(r, z, axis_name)
 
     def body(state):
         x, r, z, p, rz, it, _ = state
         Ap = project(matvec(p))
-        alpha = rz / jnp.dot(p, Ap)
+        alpha = rz / _pdot(p, Ap, axis_name)
         x = x + alpha * p
         r = r - alpha * Ap
         z = project(M(r))
-        rz_new = jnp.dot(r, z)
+        rz_new = _pdot(r, z, axis_name)
         beta = rz_new / rz
         p = z + beta * p
-        return x, r, z, p, rz_new, it + 1, jnp.linalg.norm(r)
+        return x, r, z, p, rz_new, it + 1, _pnorm(r, axis_name)
 
     def cond(state):
         *_, it, res = state
         return jnp.logical_and(res > target, it < maxiter)
 
-    state = (x0, r, z, p, rz, jnp.int32(0), jnp.linalg.norm(r))
+    state = (x0, r, z, p, rz, jnp.int32(0), _pnorm(r, axis_name))
     x, r, *_, iters, res = lax.while_loop(cond, body, state)
     return x, iters, res / jnp.maximum(bnorm, 1e-300)

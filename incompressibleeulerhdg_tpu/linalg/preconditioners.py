@@ -151,16 +151,32 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
     Pt = jnp.einsum("q,tqi,tqj->tij", geom.wqf, geom.tphi1, geom.tphi1)  # (6, d1, d1)
     Ct = jnp.zeros((6, nqf, nc), dtype)
     NNt = jnp.zeros((6, 2, 2, nc), dtype)
+    if geom.shift is not None:
+        # facet values per cell slot as slices/rolls — keeps the per-stage
+        # build gather-free AND slab-local (cross-slab slot values arrive
+        # through the distributed shift in ops/structured.py)
+        from ..ops.structured import slot_gather
+
+        sn_slots = slot_gather(geom, snq)
+        flen_slots = slot_gather(geom, geom.flen)
+        hfi_slots = slot_gather(geom, geom.hF_inv)
+        nrm_slots = slot_gather(geom, geom.normal)
     for l in range(3):
-        fl = geom.cell_facets[l]
-        sn_l = snq[:, fl]  # (nqf, nc)
+        if geom.shift is not None:
+            sn_l, flen_l = sn_slots[l], flen_slots[l]
+            hfi_l, n_l = hfi_slots[l], nrm_slots[l]
+        else:
+            fl = geom.cell_facets[l]
+            sn_l = snq[:, fl]  # (nqf, nc)
+            flen_l = geom.flen[fl]
+            hfi_l = geom.hF_inv[fl]
+            n_l = geom.normal[:, fl]  # (2, nc)
         int_l = 1.0 - geom.cf_bnd[l].astype(dtype)  # (nc,)
-        w_l = geom.wqf[:, None] * geom.flen[fl][None, :]  # (nqf, nc)
+        w_l = geom.wqf[:, None] * flen_l[None, :]  # (nqf, nc)
         coeff = (-c) * (
             0.5 * geom.cfsign[l][None, :] * sn_l - upw * jnp.abs(sn_l)
         ) * w_l * int_l[None, :]
-        pen_l = c * alpha * geom.hF_inv[fl] * geom.flen[fl]  # (nc,)
-        n_l = geom.normal[:, fl]  # (2, nc)
+        pen_l = c * alpha * hfi_l * flen_l  # (nc,)
         nn_l = n_l[:, None, :] * n_l[None, :, :]  # (2, 2, nc)
         onehot = (geom.cf_tab[l][None, :] == jnp.arange(6)[:, None]).astype(dtype)
         Ct = Ct + onehot[:, None, :] * coeff[None, :, :]
@@ -239,6 +255,13 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
             D1 = st.rect_flat(st.roll2(geom, Dup, off), rect)
             Dinv0_k = st.rect_flat(Dinv_lo, rect)
             Sc = D1 - _bmm(Cx[:, :, b0:b1], _bmm(Dinv0_k, Bx[:, :, b0:b1]))
+            if geom.fint is not None:
+                # slab-local layout: color rects include boundary/dummy
+                # positions — give them an identity Schur block (the patch
+                # solve masks their corrections out)
+                Sc = jnp.where(
+                    geom.fint[b0:b1][None, None, :] > 0, Sc, eye[:, :, None]
+                )
             Sinv_parts.append(gauss_jordan_inv_bl(Sc).astype(store))
         nbnd = nf - geom.n_int
         if nbnd:
@@ -389,6 +412,13 @@ def _patch_color_structured(geom, op, k, rb):
     t = r1 - _bm(op.Cx[:, :, b0:b1], _bm(Dinv0, r0))
     y1 = _bm(op.Sinv[:, :, b0:b1], t)
     y0 = _bm(Dinv0, r0 - _bm(op.Bx[:, :, b0:b1], y1))
+    if geom.fint is not None:
+        # slab-local layout: no patch correction at the boundary/dummy
+        # positions inside the full rects (matches the global layout, whose
+        # colors contain interior facets only)
+        m = geom.fint[b0:b1][None, :]
+        y0 = y0 * m
+        y1 = y1 * m
     z_lo = st.rect_pad(geom, y0, rect)
     z_up = st.roll2(geom, st.rect_pad(geom, y1, rect), (-off[0], -off[1]))
     return st.grid_join(geom, z_lo, z_up)

@@ -40,6 +40,9 @@ def pressure_solve(
         residual — a stalled solve is then visible to callers instead of
         silently indistinguishable from a converged one)
     """
+    from ..ops.structured import dist_axis
+
+    ax = dist_axis(geom)
     g = condense_rhs(geom, cs, f_u, f_p, f_lam).ravel()
     nt = cs.nt
 
@@ -47,9 +50,10 @@ def pressure_solve(
         return trace_matvec(geom, cs, v.reshape(nt, -1)).ravel()
 
     M = precond if precond is not None else trace_block_jacobi(cs)
-    project = deflate_constant(cs.nullvec.ravel())
+    project = deflate_constant(cs.nullvec.ravel(), axis_name=ax)
     lam_flat, iters, relres = gmres(
-        matvec, g, M=M, rtol=rtol, restart=restart, maxiter=maxiter, project=project
+        matvec, g, M=M, rtol=rtol, restart=restart, maxiter=maxiter,
+        project=project, axis_name=ax,
     )
     lam = lam_flat.reshape(nt, -1)
     u, p = back_substitute(geom, cs, f_u, f_p, lam)

@@ -85,7 +85,10 @@ def tentative_solve(
         def M(v):
             return _patch_apply_bl(geom, op, v.reshape(nu, nc)).ravel()
 
+    from ..ops.structured import dist_axis
+
     u, iters, relres = gmres(
-        matvec, rhs.ravel(), M=M, rtol=rtol, restart=restart, maxiter=maxiter
+        matvec, rhs.ravel(), M=M, rtol=rtol, restart=restart, maxiter=maxiter,
+        axis_name=dist_axis(geom),
     )
     return u.reshape(shape), iters, relres

@@ -135,8 +135,17 @@ def trace_values(geom, lam):
 
 
 def interior_mask(geom, ndim=2):
-    """(..., nf) float mask (1 on interior facets) with ndim-1 leading axes."""
-    m = (jnp.arange(geom.n_facets) < geom.n_int).astype(geom.wq.dtype)
+    """(..., nf) float mask (1 on interior facets) with ndim-1 leading axes.
+
+    Uses the stored per-facet mask when present (slab-local layouts
+    interleave boundary facets inside the color families, so a
+    "first n_int facets" threshold cannot express them); global layouts
+    derive it from the interior-first facet ordering.
+    """
+    if getattr(geom, "fint", None) is not None:
+        m = geom.fint
+    else:
+        m = (jnp.arange(geom.n_facets) < geom.n_int).astype(geom.wq.dtype)
     return m.reshape((1,) * (ndim - 1) + (-1,))
 
 
@@ -201,9 +210,19 @@ def cell_integrate(geom, phi, integrand):
 
 
 def integral(geom, phi, u):
-    """Scalar integral of a DG field over the domain (summed over components)."""
+    """Scalar integral of a DG field over the domain (summed over components);
+    a psum over the slab axis when the geometry is slab-decomposed (the
+    ``assemble(p*dx)`` analogue of the reference's MPI reduction)."""
     vals = cell_values(phi, u)
-    return jnp.einsum("c,q,...qc->...", geom.det_jac, geom.wq, vals)
+    out = jnp.einsum("c,q,...qc->...", geom.det_jac, geom.wq, vals)
+    from .structured import dist_axis
+
+    ax = dist_axis(geom)
+    if ax is not None:
+        import jax
+
+        out = jax.lax.psum(out, ax)
+    return out
 
 
 def mass_apply(geom, mref, u):
@@ -217,7 +236,16 @@ def mass_solve(geom, minv, r):
 
 
 def l2_norm_sq(geom, phi, u):
-    """Squared L2 norm of a DG field (scalar (d, nc) or vector (2, d, nc))."""
+    """Squared L2 norm of a DG field (scalar (d, nc) or vector (2, d, nc));
+    globally reduced when slab-decomposed."""
     vals = cell_values(phi, u)
     sq = vals**2 if vals.ndim == 2 else jnp.sum(vals**2, axis=0)
-    return jnp.einsum("c,q,qc->", geom.det_jac, geom.wq, sq)
+    out = jnp.einsum("c,q,qc->", geom.det_jac, geom.wq, sq)
+    from .structured import dist_axis
+
+    ax = dist_axis(geom)
+    if ax is not None:
+        import jax
+
+        out = jax.lax.psum(out, ax)
+    return out

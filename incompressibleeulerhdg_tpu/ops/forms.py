@@ -233,7 +233,7 @@ def trace_mass_apply(geom, lam, tau=1.0):
     This is the LHS of the trace reconstruction solve (hdg_imex.py:462) —
     block-diagonal per facet: (2 tau | tau) * L_f * M_trace_ref.
     """
-    fac = jnp.where(jnp.arange(geom.n_facets) < geom.n_int, 2.0 * tau, tau)
+    fac = jnp.where(interior_mask(geom, 1) > 0, 2.0 * tau, tau)
     lam_q = trace_values(geom, lam)
     return fac[None, :] * facet_integrate_trace(geom, lam_q)
 

@@ -31,9 +31,16 @@ def facet_grad_traces(geom, u):
     out = []
     for side in (0, 1):
         oh = (geom.ftab[side][None, :] == jnp.arange(6)[:, None]).astype(dtype)
-        c = geom.fcells[side]
-        ug = u[..., c]  # (..., d1, nf)
-        jinv = geom.jac_inv[:, :, c]  # (2=b, 2=a, nf)
+        if geom.shift is not None:
+            from .structured import gather_plus, gather_minus
+
+            gp = gather_plus if side == 0 else gather_minus
+            ug = gp(geom, u)  # (..., d1, nf)
+            jinv = gp(geom, geom.jac_inv)  # (2=b, 2=a, nf)
+        else:
+            c = geom.fcells[side]
+            ug = u[..., c]  # (..., d1, nf)
+            jinv = geom.jac_inv[:, :, c]  # (2=b, 2=a, nf)
         # per-b reference-gradient traces, then the 2-term jac_inv
         # contraction — all elementwise FMAs (lane-batched einsums relayout)
         gref = []

@@ -88,9 +88,57 @@ def shift2(a, off, wrap):
     return _shift_axis(a, off[1], -1, wrap)
 
 
+def dist_axis(geom):
+    """shard_map axis name of a slab-decomposed spec, or None.
+
+    A distributed spec (parallel/slab.py) appends ``(axis_name, n_slabs)``
+    as a 7th element to the shift tuple.
+    """
+    s = geom.shift
+    if s is not None and len(s) > 6 and s[6] is not None:
+        return s[6][0]
+    return None
+
+
+def _dist_shift_i(a, d, wrap, axis_name, n_slabs):
+    """Distributed i-axis shift: local shift + single-row ppermute halo.
+
+    The slab decomposition cuts the i axis across devices; the only i
+    offsets in any spec are +-1, so the halo is exactly one grid row
+    (ny * leading-dims values).  Slabs that receive from nobody (the global
+    Neumann boundary) get zeros — ppermute's fill — which is exactly the
+    zero-fill semantics of the local shift.
+    """
+    assert d in (1, -1), d
+    import jax
+
+    if d == 1:
+        # out[i] = a[i+1]: my row 0 goes to the left neighbor's last row
+        row = a[..., :1, :]
+        perm = [(s + 1, s) for s in range(n_slabs - 1)]
+        if wrap:
+            perm.append((0, n_slabs - 1))
+        recv = jax.lax.ppermute(row, axis_name, perm)
+        return jnp.concatenate([a[..., 1:, :], recv], axis=-2)
+    row = a[..., -1:, :]
+    perm = [(s, s + 1) for s in range(n_slabs - 1)]
+    if wrap:
+        perm.append((n_slabs - 1, 0))
+    recv = jax.lax.ppermute(row, axis_name, perm)
+    return jnp.concatenate([recv, a[..., :-1, :]], axis=-2)
+
+
 def roll2(geom, a, off):
-    """:func:`shift2` with the mesh's wrap mode."""
-    return shift2(a, off, geom.shift[2])
+    """:func:`shift2` with the mesh's wrap mode; slab-decomposed specs route
+    i shifts through the ppermute halo exchange."""
+    spec = geom.shift
+    wrap = spec[2]
+    if len(spec) > 6 and spec[6] is not None and off[0] != 0:
+        axis_name, n_slabs = spec[6]
+        a = _dist_shift_i(a, off[0], wrap, axis_name, n_slabs)
+    else:
+        a = _shift_axis(a, off[0], -2, wrap)
+    return _shift_axis(a, off[1], -1, wrap)
 
 
 def _neg(off):
@@ -119,26 +167,32 @@ def rect_pad(geom, a, rect):
     return jnp.pad(a, pad)
 
 
+def _fvalid(geom, x):
+    """Zero out dummy facet positions (slab-local layouts only)."""
+    fv = getattr(geom, "fvalid", None)
+    return x if fv is None else x * fv
+
+
 def gather_plus(geom, u):
     """Plus-cell values of a cell field at every facet: (..., nc) -> (..., nf)."""
-    _, _, _, _, colors, bnd = geom.shift
+    colors, bnd = geom.shift[4], geom.shift[5]
     lo, up = grid_halves(geom, u)
     parts = [rect_flat(lo, col[2:6]) for col in colors]
     parts += [rect_flat(lo if h == 0 else up, (i0, j0, ni, nj))
               for (h, l, i0, j0, ni, nj, f0) in bnd]
-    return jnp.concatenate(parts, axis=-1)
+    return _fvalid(geom, jnp.concatenate(parts, axis=-1))
 
 
 def gather_minus(geom, u):
     """Minus-cell values at every facet; ZERO on boundary facets (the gather
     path returns clamped garbage there instead — both are always masked)."""
-    _, _, _, _, colors, bnd = geom.shift
+    colors, bnd = geom.shift[4], geom.shift[5]
     _, up = grid_halves(geom, u)
     parts = [rect_flat(roll2(geom, up, col[6]), col[2:6]) for col in colors]
     if bnd:
         nbnd = sum(ni * nj for (_, _, _, _, ni, nj, _) in bnd)
         parts.append(jnp.zeros(up.shape[:-2] + (nbnd,), u.dtype))
-    return jnp.concatenate(parts, axis=-1)
+    return _fvalid(geom, jnp.concatenate(parts, axis=-1))
 
 
 def scatter_sides_sum(geom, c0, c1):
@@ -148,7 +202,9 @@ def scatter_sides_sum(geom, c0, c1):
     boundary entries of c1 are ignored, matching the gather path where no
     cell ever reads them).
     """
-    _, _, _, _, colors, bnd = geom.shift
+    colors, bnd = geom.shift[4], geom.shift[5]
+    c0 = _fvalid(geom, c0)
+    c1 = _fvalid(geom, c1)
     b = geom.fcol_bounds
     acc_lo = 0.0
     acc_up = 0.0
@@ -173,7 +229,8 @@ def slot_gather(geom, gf):
     slot l of cell c holds ``gf[..., cell_facets[l, c]]`` — the cell-major
     layout of the condensed trace system (linalg/condense.py).
     """
-    _, _, _, _, colors, bnd = geom.shift
+    colors, bnd = geom.shift[4], geom.shift[5]
+    gf = _fvalid(geom, gf)
     b = geom.fcol_bounds
     zeros = 0.0
     lo_blocks = [zeros] * 3
@@ -196,7 +253,7 @@ def slot_scatter(geom, y_slots):
 
     out[..., f] = sum over the (cell, slot) pairs mapping to facet f.
     """
-    _, _, _, _, colors, bnd = geom.shift
+    colors, bnd = geom.shift[4], geom.shift[5]
     b = geom.fcol_bounds
     halves = [grid_halves(geom, y) for y in y_slots]
     n_int_parts = [None] * len(colors)
@@ -208,4 +265,4 @@ def slot_scatter(geom, y_slots):
     parts = n_int_parts
     parts += [rect_flat(halves[l][h], (i0, j0, ni, nj))
               for (h, l, i0, j0, ni, nj, f0) in bnd]
-    return jnp.concatenate(parts, axis=-1)
+    return _fvalid(geom, jnp.concatenate(parts, axis=-1))

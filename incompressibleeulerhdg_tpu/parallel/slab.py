@@ -1,0 +1,414 @@
+"""Slab-decomposed distributed execution: shard_map + single-row ppermute halos.
+
+This is the TPU-native analogue of the reference's PETSc-MPI domain
+decomposition (SURVEY.md sections 2.4, 5.8): the structured [lowers; uppers]
+mesh is cut into ``n_slabs`` contiguous i-slabs, one per device.  Each device
+holds ONLY its slab's cells, facets, and operator tables (per-device memory
+is 1/n_slabs of the global problem), and the entire step runs inside one
+``shard_map``:
+
+- every facet<->cell move is a slice/roll (ops/structured.py); the only
+  i-direction offsets are +-1, so the halo is exactly one grid row exchanged
+  by ``lax.ppermute`` (see ``_dist_shift_i``) — NO cell-array all-gathers
+  anywhere (asserted by tests/test_slab.py's collective audit);
+- Krylov inner products / integrals are psum reductions (linalg/krylov.py);
+- the GTMG coarse residual (the P1 vertex field, ~1 MB at 512^2) is the one
+  globally shared object: accumulated into a local vertex canvas, embedded
+  at the slab's row offset and psum'd to a replicated global vector; the
+  exact FFT coarse solve then runs replicated (linalg/gtmg.py).
+
+Local facet layout (uniform across slabs, required by SPMD):
+
+    [V (nxl, ny); D (nxl, ny); H (nxl, ny); T (nxl,); L (ny,)]
+
+indexed by the facet's plus cell: V = vertical (lower slot 0; the
+i = nx-1 column is the global right boundary), D = diagonal, H = horizontal
+(the j = 0 row is the bottom boundary), T = top boundary (upper slot 0),
+L = left boundary (upper slot 1) — REAL only on slab 0, a zero-masked DUMMY
+family elsewhere (``geom.fvalid``); interface values travel through the
+rolls, never through dummies.
+
+Numerical contract: the distributed solve is IDENTICAL to the single-device
+solve (same operators, same preconditioners, same reduction order up to
+float associativity) — pinned by tests/test_slab.py.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem.discretisation import Geom
+from ..linalg.condense import CondensedSystem
+from ..linalg.gtmg import TwoLevelTracePC, _facet_endpoints
+from ..ops.projection import BDMProjection
+
+__all__ = [
+    "SlabDecomposition",
+    "build_slab_decomposition",
+    "make_slab_mesh",
+    "scatter_state",
+    "gather_state",
+    "make_distributed_step",
+]
+
+AXIS = "slab"
+
+
+class SlabDecomposition:
+    """Stacked per-slab Geom/operator pytrees + index maps (host object)."""
+
+    def __init__(self, disc, stepper, n_slabs):
+        mesh = disc.mesh
+        spec = mesh.shift_spec
+        assert spec is not None, "slab decomposition needs a structured mesh"
+        nx, ny, periodic = spec[0], spec[1], spec[2]
+        assert not periodic, "slab decomposition v1 supports Neumann meshes"
+        assert nx % n_slabs == 0, f"n_slabs={n_slabs} must divide nx={nx}"
+        nxl = nx // n_slabs
+        self.disc = disc
+        self.n_slabs = n_slabs
+        self.nx, self.ny, self.nxl = nx, ny, nxl
+        nch = nx * ny
+        gh = disc._geom_host
+        cf = mesh.cell_facets  # (nc, 3) global
+        A = nxl * ny
+        self.nf_loc = 3 * A + nxl + ny
+        self.nc_loc = 2 * A
+
+        # ---- local -> global index maps per slab --------------------------
+        cell_maps, facet_maps, facet_valid = [], [], []
+        for d in range(n_slabs):
+            r0 = d * nxl
+            low = (r0 * ny + np.arange(A)).astype(np.int64)
+            cells = np.concatenate([low, nch + low])
+            fV = cf[low, 0]
+            fD = cf[low, 1]
+            fH = cf[low, 2]
+            up_top = nch + r0 * ny + (np.arange(nxl) * ny + (ny - 1))
+            fT = cf[up_top, 0]
+            if d == 0:
+                upL = nch + np.arange(ny)
+                fL = cf[upL, 1]
+                vL = np.ones(ny)
+            else:
+                fL = np.zeros(ny, dtype=cf.dtype)
+                vL = np.zeros(ny)
+            fmap = np.concatenate([fV, fD, fH, fT, fL])
+            valid = np.concatenate([np.ones(3 * A + nxl), vL])
+            cell_maps.append(cells)
+            facet_maps.append(fmap)
+            facet_valid.append(valid)
+        self.cell_maps = cell_maps
+        self.facet_maps = facet_maps
+        self.facet_valid = facet_valid
+
+        # ---- local static spec (identical across slabs) -------------------
+        colors = (
+            (0, 1, 0, 0, nxl, ny, (1, 0)),   # V
+            (1, 2, 0, 0, nxl, ny, (0, 0)),   # D
+            (2, 0, 0, 0, nxl, ny, (0, -1)),  # H
+        )
+        bnd = (
+            (1, 0, 0, ny - 1, nxl, 1, 3 * A),  # T
+            (1, 1, 0, 0, 1, ny, 3 * A + nxl),  # L
+        )
+        self.local_spec = (
+            nxl, ny, False, spec[3], colors, bnd, (AXIS, n_slabs),
+        )
+        self.fcol_bounds = (0, A, 2 * A, 3 * A)
+
+        # ---- stacked local Geoms ------------------------------------------
+        geoms = [self._local_geom(gh, mesh, d) for d in range(n_slabs)]
+        self.geom = jax.device_put(_stack(geoms))
+
+        cs = stepper._cs
+        cs_host = disc._cs_host
+        css = [self._local_cs(cs, cs_host, mesh, d) for d in range(n_slabs)]
+        self.cs = jax.device_put(_stack(css))
+
+        proj = stepper._proj
+        projs = [
+            dataclasses.replace(
+                proj, class_id=jnp.asarray(np.asarray(proj.class_id)[self.cell_maps[d]])
+            )
+            for d in range(n_slabs)
+        ]
+        self.proj = jax.device_put(_stack(projs))
+
+        pcs = [self._local_pc(stepper._gtmg, mesh, d) for d in range(n_slabs)]
+        self.pc = jax.device_put(_stack(pcs))
+
+        self.mesh_devices = jax.sharding.Mesh(
+            np.asarray(jax.devices()[:n_slabs]), (AXIS,)
+        )
+
+    # ----------------------------------------------------------------------
+
+    def _take_facets(self, arr, d, fill=0.0, axis=-1):
+        """Local facet values from a global per-facet array (dummy -> fill)."""
+        a = np.take(np.asarray(arr), self.facet_maps[d], axis=axis)
+        v = self.facet_valid[d]
+        shape = [1] * a.ndim
+        shape[axis] = v.shape[0]
+        vv = v.reshape(shape)
+        return (a * vv + fill * (1.0 - vv)).astype(np.asarray(arr).dtype)
+
+    def _local_geom(self, gh, mesh, d):
+        cm = self.cell_maps[d]
+        tf = lambda a: np.asarray(a)[..., cm]  # cell arrays (batch-last)
+        ncol = 3
+        dtype = np.asarray(gh.wq).dtype
+        fint = (self.facet_maps[d] < mesh.n_interior_facets).astype(dtype)
+        fint = fint * self.facet_valid[d].astype(dtype)
+        fcells_loc = np.zeros((2, self.nf_loc), np.int32)  # gather path unused
+        return dataclasses.replace(
+            gh,
+            det_jac=tf(gh.det_jac),
+            jac_inv=tf(gh.jac_inv),
+            normal=self._take_facets(gh.normal, d),
+            flen=self._take_facets(gh.flen, d, fill=1.0),
+            hF_inv=self._take_facets(gh.hF_inv, d),
+            fcells=fcells_loc,
+            ftab=np.asarray(gh.ftab)[:, self.facet_maps[d]] * self.facet_valid[
+                d
+            ].astype(np.int32),
+            cell_facets=np.zeros((3, self.nc_loc), np.int32),
+            cfside=tf(gh.cfside),
+            cfsign=tf(gh.cfsign),
+            cfassemble=np.zeros((3, self.nc_loc), np.int32),
+            cf_tab=tf(gh.cf_tab),
+            cf_bnd=tf(gh.cf_bnd),
+            xq=tf(gh.xq),
+            xnodes1=tf(gh.xnodes1),
+            xnodes0=tf(gh.xnodes0),
+            fcol_pos=np.zeros((ncol, self.nc_loc), np.int32),
+            fcol_side=np.zeros((ncol, self.nc_loc), np.int32),
+            fcol_mask=np.zeros((ncol, self.nc_loc), dtype),
+            fint=fint,
+            fvalid=self.facet_valid[d].astype(dtype),
+            # meta must be IDENTICAL across slabs (the stacked pytree is one
+            # SPMD program); interiorness comes from the fint DATA array
+            n_int=3 * self.nxl * self.ny,
+            fcol_bounds=self.fcol_bounds,
+            fcol_orphans=False,
+            shift=self.local_spec,
+        )
+
+    def _local_cs(self, cs, cs_host, mesh, d):
+        cm = self.cell_maps[d]
+        nt = cs.nt
+        S_loc = np.asarray(cs_host["S"])[cm].transpose(1, 2, 0)
+        eye = np.eye(nt)
+        Sdiag_loc = self._take_facets(
+            np.asarray(cs_host["Sdiag_inv"]).transpose(1, 2, 0), d
+        )
+        # dummy facets: identity diagonal block (applied to zero values)
+        v = self.facet_valid[d]
+        Sdiag_loc = Sdiag_loc * v + eye[:, :, None] * (1.0 - v)
+        nullvec = self._take_facets(np.asarray(cs.nullvec), d)
+        dtype = np.asarray(cs_host["S"]).dtype
+        return dataclasses.replace(
+            cs,
+            S=jnp.asarray(S_loc, dtype),
+            class_id=jnp.asarray(np.asarray(cs.class_id)[cm]),
+            Sdiag_inv=jnp.asarray(Sdiag_loc, dtype),
+            nullvec=jnp.asarray(nullvec, dtype),
+        )
+
+    def _local_pc(self, pc, mesh, d):
+        nxl, ny = self.nxl, self.ny
+        Mx, My = pc.grid_shape
+        assert pc.coarse_kind == "fft_neumann", (
+            "distributed GTMG v1 needs the structured FFT coarse solve"
+        )
+        # local vertex-canvas offsets of each facet family's endpoints,
+        # verified numerically from the global facet endpoints
+        fv = _facet_endpoints(mesh)
+        groups = []
+        r0 = d * nxl
+        fam_rects = [
+            (0, 0, nxl, ny),
+            (0, 0, nxl, ny),
+            (0, 0, nxl, ny),
+            (0, ny - 1, nxl, 1),
+            (0, 0, 1, ny),
+        ]
+        f0 = 0
+        for fam, rect in enumerate(fam_rects):
+            i0, j0, ni, nj = rect
+            n = ni * nj
+            fm = self.facet_maps[d][f0 : f0 + n]
+            vmask = self.facet_valid[d][f0 : f0 + n]
+            pi = i0 + np.repeat(np.arange(ni), nj)
+            pj = j0 + np.tile(np.arange(nj), ni)
+            offs = []
+            for e in range(2):
+                vids = fv[fm, e]
+                vi, vj = vids // My - r0, vids % My
+                di, dj = vi - pi, vj - pj
+                use = vmask > 0
+                if not use.any():
+                    # dummy-only family on this slab: offsets come from the
+                    # slab that owns the real facets (slab 0's L family)
+                    offs.append(None)
+                    continue
+                assert np.all(di[use] == di[use][0]) and np.all(
+                    dj[use] == dj[use][0]
+                ), ("non-constant vertex offset", fam, d)
+                offs.append((int(di[use][0]), int(dj[use][0])))
+            groups.append((f0, f0 + n, i0, j0, ni, nj, offs[0], offs[1]))
+            f0 += n
+        self._vgroups_per_slab = getattr(self, "_vgroups_per_slab", {})
+        self._vgroups_per_slab[d] = groups
+        # fill dummy-family offsets from slab 0 (the owner) so the static
+        # spec is identical on every device
+        g0 = self._vgroups_per_slab.get(0, groups)
+        merged = []
+        for ga, gb in zip(groups, g0):
+            dlo = ga[6] if ga[6] is not None else gb[6]
+            dhi = ga[7] if ga[7] is not None else gb[7]
+            assert dlo is not None and dhi is not None
+            merged.append(ga[:6] + (dlo, dhi))
+        dist = (AXIS, self.n_slabs, int(Mx), int(My), nxl + 1, tuple(merged))
+        dtype = np.asarray(pc.trace_nodes).dtype
+        small = jnp.zeros((1, 1), dtype)
+        nt = np.asarray(self.disc._cs_host["Sdiag_inv"]).shape[-1]
+        Sdiag_loc = self._take_facets(
+            np.asarray(self.disc._cs_host["Sdiag_inv"]).transpose(1, 2, 0), d
+        )
+        v = self.facet_valid[d]
+        Sdiag_loc = Sdiag_loc * v + np.eye(nt)[:, :, None] * (1.0 - v)
+        return dataclasses.replace(
+            pc,
+            Sdiag_inv=jnp.asarray(Sdiag_loc, dtype),
+            facet_verts=jnp.zeros((2, self.nf_loc), jnp.int32),
+            K_elem=small,
+            cells=jnp.zeros((1, 1), jnp.int32),
+            K_diag_inv=small,
+            vf=jnp.zeros((1, 1), jnp.int32),
+            vf_end=jnp.zeros((1, 1), jnp.int32),
+            vf_mask=small,
+            vc=jnp.zeros((1, 1), jnp.int32),
+            vc_pos=jnp.zeros((1, 1), jnp.int32),
+            vc_mask=small,
+            vshift=None,
+            dist=dist,
+        )
+
+    # ------------------------------------------------------------------
+    # state movement
+    # ------------------------------------------------------------------
+
+    def scatter_cell_field(self, u):
+        """Global (..., nc) -> stacked (n_slabs, ..., nc_loc)."""
+        u = np.asarray(u)
+        return jnp.asarray(np.stack([u[..., cm] for cm in self.cell_maps]))
+
+    def scatter_facet_field(self, lam):
+        lam = np.asarray(lam)
+        return jnp.asarray(
+            np.stack(
+                [
+                    lam[..., fm] * fv
+                    for fm, fv in zip(self.facet_maps, self.facet_valid)
+                ]
+            )
+        )
+
+    def gather_cell_field(self, u_s, global_shape):
+        out = np.zeros(global_shape, dtype=np.asarray(u_s).dtype)
+        for d, cm in enumerate(self.cell_maps):
+            out[..., cm] = np.asarray(u_s)[d]
+        return out
+
+    def gather_facet_field(self, lam_s, global_shape):
+        out = np.zeros(global_shape, dtype=np.asarray(lam_s).dtype)
+        for d, (fm, fv) in enumerate(zip(self.facet_maps, self.facet_valid)):
+            sel = fv > 0
+            out[..., fm[sel]] = np.asarray(lam_s)[d][..., sel]
+        return out
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
+
+
+def build_slab_decomposition(disc, stepper, n_slabs):
+    return SlabDecomposition(disc, stepper, n_slabs)
+
+
+def make_slab_mesh(n_slabs):
+    return jax.sharding.Mesh(np.asarray(jax.devices()[:n_slabs]), (AXIS,))
+
+
+def scatter_state(dec, stage_Q, stage_p, stage_lam):
+    sQ = [dec.scatter_cell_field(Q) for Q in stage_Q]
+    sp = [dec.scatter_cell_field(p) for p in stage_p]
+    sl = [dec.scatter_facet_field(l) for l in stage_lam]
+    return sQ, sp, sl
+
+
+def gather_state(dec, out_Q, out_p, geom_global):
+    nc = geom_global.n_cells
+    Q = dec.gather_cell_field(np.asarray(out_Q), out_Q.shape[1:-1] + (nc,))
+    p = dec.gather_cell_field(np.asarray(out_p), out_p.shape[1:-1] + (nc,))
+    return Q, p
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map as _sm  # jax >= 0.5-ish
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def make_distributed_step(dec, stepper, f_rhs_fn):
+    """Wrap the (shared-phase) fused IMEX step in a shard_map over slabs.
+
+    Returns step(sQ_stacked, sp_stacked, sl_stacked, tn) ->
+    (sQ, sp, sl, counts); states are stacked (n_slabs, ...) pytrees.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    step = stepper._make_step(f_rhs_fn, with_tracer=False)
+    mesh = dec.mesh_devices
+    s = stepper.nstages
+
+    def body(geom, proj, cs, pc, sQ, sp, sl, tn):
+        sq = jax.tree_util.tree_map(lambda a: a[0], (geom, proj, cs, pc, sQ, sp, sl))
+        geom0, proj0, cs0, pc0, sQ0, sp0, sl0 = sq
+        dummy_q = jnp.zeros_like(sp0[0])
+        out_Q, out_p, out_l, _, counts = step(
+            geom0, proj0, cs0, pc0, list(sQ0), list(sp0), list(sl0), tn,
+            dummy_q, None,
+        )
+        pack = (tuple(out_Q), tuple(out_p), tuple(out_l))
+        return (
+            jax.tree_util.tree_map(lambda a: a[None], pack),
+            jax.tree_util.tree_map(lambda a: a[None], counts),
+        )
+
+    sharded = _shard_map(
+        body,
+        mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+    )
+
+    @jax.jit
+    def dstep(sQ, sp, sl, tn):
+        (oQ, op_, ol), counts = sharded(
+            dec.geom, dec.proj, dec.cs, dec.pc, tuple(sQ), tuple(sp), tuple(sl), tn
+        )
+        counts = jax.tree_util.tree_map(lambda a: a[0], counts)
+        return list(oQ), list(op_), list(ol), counts
+
+    return dstep

@@ -629,9 +629,9 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         """Facet mass solve for lambda(0) (hdg_imex.py:450-469): (nt, nf)."""
         geom = self.geom
         rhs = reconstruct_trace_rhs(geom, Q, p, tau=self.tau)
-        fac = jnp.where(
-            jnp.arange(geom.n_facets) < geom.n_int, 2.0 * self.tau, self.tau
-        )
+        from ..ops.fields import interior_mask
+
+        fac = jnp.where(interior_mask(geom, 1) > 0, 2.0 * self.tau, self.tau)
         return jnp.einsum("ij,jf->if", geom.mtinv, rhs) / (fac * geom.flen)[None, :]
 
     def solve(

@@ -1,0 +1,120 @@
+"""Slab-decomposed distributed solve: equivalence + collective audit.
+
+The shard_map slab decomposition (parallel/slab.py) must reproduce the
+single-device solve (same operators, preconditioners, and reduction
+semantics), and its compiled program must move ONLY halo rows and scalar
+reductions between devices: zero all-gathers (VERDICT r2 item 4's
+structural check — the GSPMD path's cell-array all-gathers are the thing
+this decomposition exists to eliminate).
+"""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from incompressibleeulerhdg_tpu.mesh.generators import unit_square_mesh
+from incompressibleeulerhdg_tpu.fem.discretisation import HDGDiscretisation
+from incompressibleeulerhdg_tpu.models.problems import TaylorGreen
+from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
+    IncompressibleEulerHDGIMEXSSP2_332,
+)
+from incompressibleeulerhdg_tpu.parallel.slab import (
+    build_slab_decomposition,
+    make_distributed_step,
+    scatter_state,
+)
+
+needs_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs 4 virtual devices"
+)
+
+
+def _setup(nx=8, degree=1, dt=0.1):
+    disc = HDGDiscretisation(unit_square_mesh(nx), degree)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, dt)
+    problem = TaylorGreen(disc)
+    Q0 = disc.interpolate_velocity(problem.initial_condition()[0])
+    p0 = stepper.shift_pressure(
+        disc.interpolate_pressure(problem.initial_condition()[1])
+    )
+    lam0 = stepper._reconstruct_trace(Q0, p0)
+    s = stepper.nstages
+    sQ = [Q0] + [jnp.zeros_like(Q0)] * (s - 1)
+    sp = [p0] + [jnp.zeros_like(p0)] * (s - 1)
+    sl = [lam0] + [jnp.zeros_like(lam0)] * (s - 1)
+    return disc, stepper, problem, sQ, sp, sl
+
+
+@needs_multidevice
+def test_slab_step_matches_single_device():
+    disc, stepper, problem, sQ, sp, sl = _setup()
+    dt = stepper._dt
+    step = jax.jit(stepper._make_step(problem.f_rhs(), with_tracer=False))
+    dummy_q = jnp.zeros_like(sp[0])
+
+    # single-device reference: two steps
+    ref_Q, ref_p, ref_l = sQ, sp, sl
+    for k in range(2):
+        out = step(
+            disc.geom, stepper._proj, stepper._cs, stepper._gtmg,
+            ref_Q, ref_p, ref_l, jnp.asarray(k * dt, disc.dtype), dummy_q, None,
+        )
+        ref_Q, ref_p, ref_l = out[0], out[1], out[2]
+
+    dec = build_slab_decomposition(disc, stepper, n_slabs=4)
+    dstep = make_distributed_step(dec, stepper, problem.f_rhs())
+    dQ, dp, dl = scatter_state(dec, sQ, sp, sl)
+    for k in range(2):
+        dQ, dp, dl, counts = dstep(dQ, dp, dl, jnp.asarray(k * dt, disc.dtype))
+
+    Q_d = dec.gather_cell_field(np.asarray(dQ[0]), np.asarray(ref_Q[0]).shape)
+    p_d = dec.gather_cell_field(np.asarray(dp[0]), np.asarray(ref_p[0]).shape)
+    errQ = np.abs(Q_d - np.asarray(ref_Q[0])).max()
+    errp = np.abs(p_d - np.asarray(ref_p[0])).max()
+    # psum reduction order differs from the local dot order: float
+    # associativity noise only
+    assert errQ < 1e-10, errQ
+    assert errp < 1e-10, errp
+    # iteration counts must match the single-device solve exactly
+    ref_counts = out[4]
+    assert np.array_equal(
+        np.asarray(counts["tentative"]), np.asarray(ref_counts["tentative"])
+    ), (counts["tentative"], ref_counts["tentative"])
+
+
+@needs_multidevice
+def test_slab_step_collective_audit():
+    """Structural check: the distributed step contains NO all-gathers — only
+    collective-permutes (single-row halos) and all-reduces (Krylov dots,
+    integrals, the coarse vertex canvas)."""
+    disc, stepper, problem, sQ, sp, sl = _setup()
+    dec = build_slab_decomposition(disc, stepper, n_slabs=4)
+    dstep = make_distributed_step(dec, stepper, problem.f_rhs())
+    dQ, dp, dl = scatter_state(dec, sQ, sp, sl)
+    hlo = dstep.lower(dQ, dp, dl, jnp.asarray(0.0, disc.dtype)).compile().as_text()
+    counts = {
+        name: len(re.findall(rf"\b{name}\b", hlo))
+        for name in ("all-gather", "all-reduce", "collective-permute", "all-to-all")
+    }
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    assert counts["all-reduce"] > 0, counts  # the reductions exist
+    assert counts["collective-permute"] > 0, counts  # the halos exist
+
+
+@needs_multidevice
+def test_slab_memory_is_partitioned():
+    """Per-device table memory drops ~linearly with the slab count: every
+    cell/facet-sized leaf of the stacked decomposition is 1/n_slabs of the
+    global size per device."""
+    disc, stepper, problem, *_ = _setup()
+    dec = build_slab_decomposition(disc, stepper, n_slabs=4)
+    nc, nf = disc.geom.n_cells, disc.geom.n_facets
+    assert dec.nc_loc == nc // 4
+    # local facet count: uniform layout has nxl + ny extra (masked) slots
+    assert dec.nf_loc * 4 - (3 * dec.nxl + 4 * dec.ny) <= nf + 4 * dec.ny
+    S = dec.cs.S
+    assert S.shape[0] == 4 and S.shape[-1] == dec.nc_loc
