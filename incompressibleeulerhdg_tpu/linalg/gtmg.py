@@ -4,12 +4,15 @@ TPU-native replacement for ``firedrake.GTMGPC`` + ASMStar smoothing + gamg
 coarse solve (/root/reference/src/timesteppers/hdg_imex.py:128-170 and the
 appctx coarse-space callbacks at hdg_imex.py:97-118):
 
-- fine level: the DGT trace system S (per-cell Schur blocks);
-  smoother = Chebyshev over facet-block Jacobi (the TPU analogue of
-  2 Chebyshev iterations of ASMStarPC patches, hdg_imex.py:142-152)
-- coarse level: the P1 conforming Laplacian (hdg_imex.py:101-106),
-  approximately inverted by Chebyshev over Jacobi (replacing gamg,
-  hdg_imex.py:153-167)
+- fine level: the DGT trace system S (per-cell Schur blocks); smoother =
+  Chebyshev over facet-block Jacobi on structured meshes, and Chebyshev
+  over additive VERTEX-STAR patches (exact dense solves of S restricted to
+  each vertex's facet star — the ASMStarPC analogue, hdg_imex.py:142-152)
+  on unstructured meshes
+- coarse level: the P1 conforming Laplacian (hdg_imex.py:101-106) —
+  EXACT inverses where affordable: FFT-diagonalised on structured grids,
+  dense pseudo-inverse for small unstructured meshes (<= 8k vertices), and
+  Chebyshev over Jacobi beyond (replacing gamg, hdg_imex.py:153-167)
 - transfer: linear interpolation of vertex values along each facet
   (the analogue of the facet-mass-inverse x P1-projection interpolation
   matrix of hdg_imex.py:491-503; for straight facets and nodal trace bases
@@ -49,6 +52,9 @@ __all__ = ["TwoLevelTracePC", "build_gtmg", "gtmg_apply"]
         "vc_mask",
         "coarse_eig_inv",
         "coarse_scale",
+        "star_inv",
+        "star_pos",
+        "coarse_dense_inv",
     ],
     meta_fields=[
         "n_vertices",
@@ -81,6 +87,18 @@ class TwoLevelTracePC:
     vc_mask: jnp.ndarray  # (nv, Dc)
     coarse_eig_inv: jnp.ndarray = None  # spectral inverse (structured meshes)
     coarse_scale: jnp.ndarray = None  # (nv,) D^{-1} boundary-row scaling
+    # vertex-star additive-Schwarz smoother tables (unstructured meshes —
+    # the ASMStarPC analogue, /root/reference/src/timesteppers/hdg_imex.py:142-152):
+    # per vertex, the dense inverse of S restricted to the trace dofs of all
+    # facets meeting that vertex; each facet belongs to exactly its two
+    # endpoint stars, so scatter-back weight 1/2 is an exact partition
+    star_inv: jnp.ndarray = None  # (Dv*nt, Dv*nt, nv) batch-last
+    star_pos: jnp.ndarray = None  # (2, nf) position of facet in its
+    # endpoint-vertex patch (paired with facet_verts)
+    # exact coarse solve for small unstructured meshes: dense pseudo-inverse
+    # of the singular P1 Laplacian (a (nv, nv) MXU matvec per V-cycle —
+    # TPU-friendly up to a few thousand vertices; gamg's exactness analogue)
+    coarse_dense_inv: jnp.ndarray = None
     # static vertex-shift spec (Mx, My, wrap, groups) mapping every facet
     # group's endpoint vertices to constant vertex-grid offsets — turns
     # restrict/prolong into slices/rolls (None: padded-adjacency gathers)
@@ -317,6 +335,97 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
     cpos = np.tile(np.array([0, 1, 2], dtype=np.int32), mesh.n_cells)
     (vc_t, vc_pos_t), vc_mask = padded_adjacency(cv_flat, [cid, cpos])
 
+    # ---- vertex-star smoother (unstructured meshes; ASMStarPC analogue,
+    # hdg_imex.py:142-152): exact dense solves of S restricted to each
+    # vertex's facet star, applied additively with weight 1/2 (every facet
+    # has exactly two endpoint stars).  Structured meshes keep the
+    # facet-block Jacobi smoother — the FFT coarse solve already gives
+    # mesh-independent counts there, and the block Jacobi is cheaper.
+    star_inv_j = None
+    star_pos_j = None
+    star_np = None
+    coarse_dense_inv_j = None
+    if coarse_kind == "cheb":
+        import scipy.sparse as _sp
+
+        S_cells = S_np  # (nc, 3nt, 3nt) float64 host copy from above
+        cfac = mesh.cell_facets
+        gdof = (cfac[:, :, None] * nt + np.arange(nt)[None, None, :]).reshape(
+            mesh.n_cells, 3 * nt
+        )
+        ri = np.repeat(gdof[:, :, None], 3 * nt, axis=2)
+        ci = np.repeat(gdof[:, None, :], 3 * nt, axis=1)
+        S_glob = _sp.coo_matrix(
+            (S_cells.ravel(), (ri.ravel(), ci.ravel())),
+            shape=(nf * nt, nf * nt),
+        ).tocsr()
+        Dv = vf_t.shape[1]
+        mdim = Dv * nt
+        Pinv = np.zeros((nv, mdim, mdim))
+        for v in range(nv):
+            deg = int(vf_mask[v].sum())
+            fs = vf_t[v, :deg]
+            idx = (fs[:, None] * nt + np.arange(nt)[None, :]).ravel()
+            blk = sign * S_glob[idx][:, idx].toarray()
+            Pv = np.eye(mdim)
+            Pv[: deg * nt, : deg * nt] = blk
+            Pinv[v] = np.linalg.inv(Pv)
+        # facet -> (position within endpoint patch) lookup
+        star_pos = np.zeros((2, mesh.n_facets), np.int32)
+        for v in range(nv):
+            deg = int(vf_mask[v].sum())
+            for p in range(deg):
+                star_pos[vf_end_t[v, p], vf_t[v, p]] = p
+
+        def star_np_apply(r):
+            """(nf, nt) -> (nf, nt) numpy vertex-star apply (for lmax)."""
+            rv = np.zeros((nv, mdim))
+            for p in range(Dv):
+                rv[:, p * nt : (p + 1) * nt] = (
+                    r[vf_t[:, p]] * vf_mask[:, [p]]
+                )
+            y = np.einsum("vij,vj->vi", Pinv, rv)
+            z = np.zeros_like(r)
+            for e in range(2):
+                cols = star_pos[e][:, None] * nt + np.arange(nt)[None, :]
+                z += 0.5 * np.take_along_axis(
+                    y[facet_verts[:, e]], cols, axis=1
+                )
+            return z
+
+        star_np = star_np_apply
+        star_inv_j = jnp.asarray(Pinv.transpose(1, 2, 0), dtype=disc.dtype)
+        star_pos_j = jnp.asarray(star_pos)
+
+        # exact coarse solve: dense pseudo-inverse of the (singular) P1
+        # Laplacian for small unstructured meshes — one (nv, nv) MXU matvec
+        # per V-cycle; the Chebyshev-Jacobi coarse approximation was the
+        # remaining source of h-dependent iteration growth
+        if nv <= 8192:
+            K_dense = np.zeros((nv, nv))
+            for a in range(3):
+                for b in range(3):
+                    np.add.at(
+                        K_dense,
+                        (mesh.cells[:, a], mesh.cells[:, b]),
+                        K_elem[:, a, b],
+                    )
+            coarse_dense_inv_j = jnp.asarray(
+                np.linalg.pinv(K_dense, rcond=1e-10), dtype=disc.dtype
+            )
+        else:
+            coarse_dense_inv_j = None
+
+        # the Chebyshev bounds target the STAR-preconditioned spectrum
+        def fine_op_star(vv):
+            return star_np(sign * trace_mv_np(vv))
+
+        v = rng.standard_normal((nf, nt))
+        for _ in range(power_iters):
+            v = fine_op_star(v)
+            v = v / np.linalg.norm(v)
+        lmax_fine = float(np.vdot(v, fine_op_star(v)))
+
     return TwoLevelTracePC(
         Sdiag_inv=cs.Sdiag_inv,
         facet_verts=jnp.asarray(facet_verts.T),
@@ -333,6 +442,9 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
         vc_mask=jnp.asarray(vc_mask, dtype=disc.dtype),
         coarse_eig_inv=eig_inv,
         coarse_scale=coarse_scale,
+        star_inv=star_inv_j,
+        star_pos=star_pos_j,
+        coarse_dense_inv=coarse_dense_inv_j,
         vshift=_vertex_shift_groups(mesh),
         n_vertices=nv,
         fft_f32=bool(jax.default_backend() == "tpu" and disc.dtype == jnp.float64),
@@ -395,6 +507,9 @@ def _coarse_solve(pc, rc):
         u = rc.reshape(nx_, ny_).astype(fftdt)
         c = jnp.fft.fft2(u) * pc.coarse_eig_inv.astype(fftdt)
         return jnp.fft.ifft2(c).real.reshape(-1).astype(rc.dtype)
+
+    if pc.coarse_dense_inv is not None:
+        return pc.coarse_dense_inv @ rc  # exact (pseudo-)inverse, MXU matvec
 
     def Ac(v):
         vg = v[pc.cells]  # (3, nc)
@@ -507,6 +622,24 @@ def restrict(pc, lam):
     return out
 
 
+def _star_apply(pc, r):
+    """Additive vertex-star smoother: (nt, nf) -> (nt, nf).
+
+    Exact dense patch solves per vertex, scatter-back weight 1/2 (each
+    facet's dofs appear in exactly its two endpoint stars).
+    """
+    nt = r.shape[0]
+    rg = r[:, pc.vf] * pc.vf_mask[None]  # (nt, nv, Dv)
+    rv = jnp.transpose(rg, (2, 0, 1)).reshape(pc.star_inv.shape[0], -1)
+    y = jnp.einsum("ijv,jv->iv", pc.star_inv, rv)
+    z = 0.0
+    for e in range(2):
+        ycol = y[:, pc.facet_verts[e]]  # (Dv*nt, nf)
+        idx = pc.star_pos[e][None, :] * nt + jnp.arange(nt)[:, None]
+        z = z + 0.5 * jnp.take_along_axis(ycol, idx, axis=0)
+    return z
+
+
 def gtmg_apply(geom, cs, pc, r_flat):
     """Multiplicative two-level V-cycle approximating S^{-1} r.
 
@@ -519,6 +652,8 @@ def gtmg_apply(geom, cs, pc, r_flat):
         return pc.sign * trace_matvec(geom, cs, v)
 
     def Dinv(v):
+        if pc.star_inv is not None:
+            return _star_apply(pc, v)  # built from sign*S: A^{-1}-approx already
         return pc.sign * jnp.einsum("ijf,jf->if", cs.Sdiag_inv, v)
 
     # pre-smooth

@@ -135,17 +135,19 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         if threshold is None:
             threshold = self.COMPOSITE_STEP_CELLS
         composite = self.geom.n_cells > threshold
-        key = (id(f_rhs_fn), with_tracer, composite)
-        if key not in self._step_cache:
+        # cache entries remember the forcing callable they were traced for
+        # (NOT its id(): ids of garbage-collected functions get reused,
+        # which would silently serve a stale step to library users)
+        key = (with_tracer, composite)
+        entry = self._step_cache.get(key)
+        if entry is None or entry[0] is not f_rhs_fn:
             if composite:
-                self._step_cache[key] = self._make_step_composite(
-                    f_rhs_fn, with_tracer
-                )
+                step = self._make_step_composite(f_rhs_fn, with_tracer)
             else:
-                self._step_cache[key] = jax.jit(
-                    self._make_step(f_rhs_fn, with_tracer)
-                )
-        return self._step_cache[key]
+                step = jax.jit(self._make_step(f_rhs_fn, with_tracer))
+            self._step_cache[key] = (f_rhs_fn, step)
+            return step
+        return entry[1]
 
     def _phases(self, f_rhs_fn):
         """Shared per-phase numerics consumed by BOTH step compositions.

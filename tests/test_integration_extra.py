@@ -149,7 +149,7 @@ def test_disk_mesh_iteration_growth_bounded():
     from incompressibleeulerhdg_tpu.linalg.pressure import pressure_solve
 
     its = []
-    for ref in (3, 4):
+    for ref in (3, 4, 5):
         disc = HDGDiscretisation(unit_disk_mesh(ref), 1)
         g = disc.geom
         cs = build_condensed_system(disc)
@@ -165,9 +165,10 @@ def test_disk_mesh_iteration_growth_bounded():
             precond=lambda v, g=g, cs=cs, pc=pc: gtmg_apply(g, cs, pc, v),
         )
         its.append(int(n))
-    # 4x the cells: iteration count must not double
-    assert its[1] <= 2 * its[0], its
-    assert its[1] < 45, its
+    # mesh independence (vertex-star smoother + exact dense coarse solve):
+    # near-constant single-digit counts, like the reference's GTMG+ASMStar
+    assert its[-1] <= 1.3 * its[0], its
+    assert max(its) < 25, its
 
 
 def test_pressure_solve_reports_stall():

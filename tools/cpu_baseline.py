@@ -106,15 +106,30 @@ def build_matrices(nx, degree=2):
     return A_t, S_g
 
 
-def time_solve(A, rtol, label, maxiter=400, fill_factor=10.0):
+def time_solve(A, rtol, label, maxiter=200, fill_factor=10.0, deflate=False):
     """ILU-preconditioned GMRES on a seeded random RHS; returns (setup time
-    once, per-solve time, iterations)."""
+    once, per-solve time, iterations).
+
+    ``deflate=True`` projects out the constant nullspace (the trace system
+    is singular exactly as the reference's pressure system is — PETSc
+    handles it with an attached nullspace, hdg_imex.py:480-489); the ILU is
+    built on a Tikhonov-shifted copy so the factorization is nonsingular.
+    """
+    n = A.shape[0]
     rng = np.random.default_rng(123456789)
-    b = rng.standard_normal(A.shape[0])
+    b = rng.standard_normal(n)
+    ones = np.ones(n) / np.sqrt(n)
+
+    def proj(v):
+        return v - ones * (ones @ v) if deflate else v
+
+    b = proj(b)
     t0 = time.perf_counter()
-    ilu = spla.spilu(A, drop_tol=1e-5, fill_factor=fill_factor)
+    A_f = A + 1e-8 * sp.identity(n, format="csc") if deflate else A
+    ilu = spla.spilu(A_f, drop_tol=1e-5, fill_factor=fill_factor)
     t_fact = time.perf_counter() - t0
-    M = spla.LinearOperator(A.shape, ilu.solve)
+    M = spla.LinearOperator(A.shape, lambda v: proj(ilu.solve(proj(v))))
+    Aop = spla.LinearOperator(A.shape, lambda v: proj(A @ proj(v)))
     its = {"n": 0}
 
     def cb(_):
@@ -122,11 +137,11 @@ def time_solve(A, rtol, label, maxiter=400, fill_factor=10.0):
 
     t0 = time.perf_counter()
     x, info = spla.gmres(
-        A, b, rtol=rtol, restart=60, maxiter=maxiter, M=M, callback=cb,
+        Aop, b, rtol=rtol, restart=60, maxiter=maxiter, M=M, callback=cb,
         callback_type="pr_norm",
     )
     t_solve = time.perf_counter() - t0
-    res = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    res = np.linalg.norm(proj(b - A @ proj(x))) / np.linalg.norm(b)
     print(
         f"  {label:>28s}: factor {t_fact:7.2f}s  solve {t_solve:7.2f}s  "
         f"its {its['n']:4d}  relres {res:.1e}  (n={A.shape[0]})"
@@ -145,7 +160,7 @@ def main():
         # tentative: GMRES+ILU rtol 1e-10 (hdg_imex.py:224-228)
         tf_t, ts_t, it_t = time_solve(A_t, 1e-10, "tentative GMRES+ILU")
         # pressure: condensed trace GMRES rtol 1e-12 (hdg_imex.py:135-137)
-        tf_p, ts_p, it_p = time_solve(S_g, 1e-12, "trace GMRES+ILU")
+        tf_p, ts_p, it_p = time_solve(S_g, 1e-12, "trace GMRES+ILU", deflate=True)
         # reference composition (SURVEY 3.1): 4 tentative + 6 pressure per
         # step; ILU refactorization happens once per stage for the tentative
         # operator (it changes with Q*): 2 stage factorizations per step.
