@@ -15,6 +15,69 @@ import jax.numpy as jnp
 __all__ = ["batched_inv", "gauss_jordan_inv_bl"]
 
 
+def _gj_pallas_kernel_factory(n):
+    """Pallas kernel: Gauss-Jordan inverse of one (n, n, B) VMEM block.
+
+    The pivot loop is fully unrolled with STATIC indices; every step is a
+    VPU elementwise op on data already resident in VMEM, so each block is
+    read from HBM once and written once — the fori_loop XLA version streams
+    the whole (n, n, m) array from HBM on every one of the n pivot steps
+    (~2n x the traffic; 50 GB against 2.5 GB at 512^2 k=2).
+    """
+
+    def kernel(a_ref, o_ref):
+        A = a_ref[:]
+        # static-k row/column updates as masked selects (Mosaic has no
+        # scatter lowering; the masks are compile-time iota comparisons)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        for k in range(n):
+            mk = idx == k  # (n, 1)
+            pivot = A[k]  # (n, B)
+            inv_p = 1.0 / pivot[k]  # (B,)
+            row_k = jnp.where(mk, inv_p[None, :], pivot * inv_p[None, :])
+            f = jnp.where(mk, 0.0, A[:, k, :])
+            A = A - f[:, None, :] * row_k[None, :, :]
+            A = jnp.where(mk[None, :, :], (-f * inv_p[None, :])[:, None, :], A)
+            A = jnp.where(mk[:, :, None], row_k[None, :, :], A)
+        o_ref[:] = A
+
+    return kernel
+
+
+def _gj_pallas(A, block=512, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, _, m = A.shape
+    mp = -(-m // block) * block
+    if mp != m:  # pad with identities (their inverses are discarded)
+        pad = jnp.broadcast_to(
+            jnp.eye(n, dtype=A.dtype)[:, :, None], (n, n, mp - m)
+        )
+        A = jnp.concatenate([A, pad], axis=2)
+    kwargs = {} if interpret else dict(
+        in_specs=[
+            pl.BlockSpec((n, n, block), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((n, n, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    if interpret:
+        kwargs = dict(
+            in_specs=[pl.BlockSpec((n, n, block), lambda i: (0, 0, i))],
+            out_specs=pl.BlockSpec((n, n, block), lambda i: (0, 0, i)),
+            interpret=True,
+        )
+    out = pl.pallas_call(
+        _gj_pallas_kernel_factory(n),
+        grid=(mp // block,),
+        out_shape=jax.ShapeDtypeStruct((n, n, mp), A.dtype),
+        **kwargs,
+    )(A)
+    return out[:, :, :m] if mp != m else out
+
+
 def gauss_jordan_inv_bl(A):
     """In-place Gauss-Jordan inverse of batch-LAST matrices (n, n, m).
 
@@ -30,10 +93,20 @@ def gauss_jordan_inv_bl(A):
     the whole operator build.  The pivot loop runs under ``fori_loop`` so the
     step body is compiled once, not n times (the unrolled form added tens of
     seconds of XLA time to the step compile).
+
+    On TPU in float32, large batches dispatch to the Pallas kernel instead:
+    the whole inverse runs VMEM-resident at one read + one write of HBM.
     """
     A = jax.lax.optimization_barrier(A)
     n = A.shape[0]
     m = A.shape[2]
+    if (
+        A.dtype == jnp.float32
+        and m >= 4096
+        and n <= 48
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        return _gj_pallas(A)
 
     def body(k, A):
         pivot = jax.lax.dynamic_index_in_dim(A, k, axis=0, keepdims=False)

@@ -155,3 +155,22 @@ def test_unrolled_residuals_match_recursion(name):
         unrolled = alpha[i] @ Q + dt * beta[i] @ bfield
         assert abs(unrolled - residual(i)) < 1e-12, (name, i)
     assert abs(alpha_f @ Q + dt * beta_f @ bfield - final_residual()) < 1e-12
+
+
+def test_gauss_jordan_pallas_kernel_matches():
+    """The Pallas VMEM-resident Gauss-Jordan kernel (interpret mode on CPU)
+    reproduces the XLA fori_loop inverse, including the identity-padded
+    remainder block."""
+    import jax.numpy as jnp
+    from incompressibleeulerhdg_tpu.linalg.smallinv import (
+        _gj_pallas,
+        gauss_jordan_inv_bl,
+    )
+
+    rng = np.random.default_rng(5)
+    n, m = 8, 700  # m NOT a multiple of the 512 block: exercises padding
+    A = rng.standard_normal((n, n, m)) * 0.1 + 3.0 * np.eye(n)[:, :, None]
+    A32 = jnp.asarray(A, jnp.float32)
+    ref = np.asarray(gauss_jordan_inv_bl(A32))
+    got = np.asarray(_gj_pallas(A32, interpret=True))
+    assert np.allclose(got, ref, atol=5e-5), np.abs(got - ref).max()
