@@ -73,6 +73,14 @@ class TentativeOperator:
     Dinv0: jnp.ndarray  # (nu, nu, nf) Dinv gathered to each facet's plus cell
     # (stored: gathering 400-element columns per application runs at
     # per-element DRAM speed — measured 183 ms per gather at 512^2)
+    #
+    # NOTE: bf16 table copies for the preconditioner were tried TWICE and are
+    # a dead end — both the patch Schur factors (iterations 20 -> 60-210 at
+    # 384^2) and the sweep's residual-update matvec tables (GMRES stalled at
+    # maxiter from 128^2 up).  The sweep computes r - A z with z ~ A^{-1} r,
+    # so table rounding is amplified by cond(A) ~ alpha * nx (the
+    # penalty/mass entry ratio): eps_bf16 * cond crosses O(1) around
+    # nx ~ 128.  Small-mesh CPU checks pass and prove nothing.
 
 
 def _bm(A, x):

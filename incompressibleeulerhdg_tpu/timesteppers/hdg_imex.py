@@ -104,7 +104,18 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         # symmetric colored sweep + a restart long enough to avoid cycling
         import os as _os
 
-        self.tentative_restart = int(_os.environ.get("IEHDG_TENT_RESTART", "40"))
+        # restart sized just above the observed per-solve counts (8-26):
+        # the whole solve fits in one cycle (no superlinearity loss) while
+        # the Krylov basis stays small — the V @ w / V.T @ h
+        # orthogonalisation products stream the FULL (m+1, n) basis each
+        # iteration, so basis size is directly HBM traffic (0.7 GB/iter at
+        # restart 28 vs 1.0 GB at restart 40, 512^2 k=2)
+        self.tentative_restart = int(_os.environ.get("IEHDG_TENT_RESTART", "28"))
+        # sweeps per preconditioner application trade iteration count
+        # against per-application cost: 2 sweeps measured its 13-25 -> 8-20
+        # (the reference's ILU-like single digits) but cost ~2.1x per
+        # application — 1.57 -> 1.81 s/step at 256^2, so wall-clock favors
+        # 1 sweep; IEHDG_TENT_SWEEPS=2 is the measured low-iteration config
         self.tentative_sweeps = int(_os.environ.get("IEHDG_TENT_SWEEPS", "1"))
         self.tentative_symmetric = _os.environ.get("IEHDG_TENT_SYM", "1") == "1"
 
