@@ -79,7 +79,14 @@ __all__ = ["Geom", "HDGDiscretisation"]
         "fint",
         "fvalid",
     ],
-    meta_fields=["n_int", "degree", "fcol_bounds", "fcol_orphans", "shift"],
+    meta_fields=[
+        "n_int",
+        "degree",
+        "fcol_bounds",
+        "fcol_orphans",
+        "shift",
+        "uniform",
+    ],
 )
 @dataclass
 class Geom:
@@ -156,6 +163,11 @@ class Geom:
     # [lowers; uppers] structured mesh, or None — enables the slice/roll
     # facet<->cell fast path (ops/structured.py)
     shift: tuple = None
+    # per-family geometric constants (colors_u, halves_u) of a UNIFORM
+    # structured mesh (mesh/triangle_mesh.py:_attach_uniform_structure), or
+    # None — enables the factored tentative-operator tables
+    # (linalg/preconditioners.py)
+    uniform: tuple = None
 
     @property
     def n_cells(self):
@@ -282,6 +294,7 @@ class HDGDiscretisation:
             fcol_bounds=tuple(int(b) for b in bounds),
             fcol_orphans=fcol_orphans,
             shift=getattr(m, "shift_spec", None),
+            uniform=getattr(m, "uniform_spec", None),
         )
         self.geom = jax.device_put(geom_host)
         # host (numpy) copy retained for setup-time consumers — the slab

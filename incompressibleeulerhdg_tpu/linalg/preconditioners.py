@@ -14,6 +14,7 @@ so a (2, d1, nc) field reshapes to (nu, nc) for free); all block tables are
 HBM on TPU.
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -23,9 +24,38 @@ import jax.numpy as jnp
 from ..ops.fields import interior_mask
 from .smallinv import gauss_jordan_inv_bl
 
+
+def _fact_wanted():
+    """Whether uniform meshes should store FACTORED tentative tables.
+
+    ``IEHDG_FACT=1/0`` overrides.  Default: on everywhere except real TPU
+    backends — the factored apply's TPU fast path is the Pallas kernel
+    (:func:`_fact_pallas`), which is pending hardware measurement (the
+    pure-XLA factored apply measured SLOWER than the dense tables on TPU,
+    see the TentativeOperator docstring).  Flip the default once the
+    microbenchmark (tools/microbench_fact.py) confirms the win.
+    """
+    flag = os.environ.get("IEHDG_FACT")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() not in ("tpu", "axon")
+
 _register_tentative_op = partial(
     jax.tree_util.register_dataclass,
-    data_fields=["D", "Bx", "Cx", "Dinv", "Sinv", "Dinv0"],
+    data_fields=[
+        "D",
+        "Bx",
+        "Cx",
+        "Dinv",
+        "Sinv",
+        "Dinv0",
+        "Sown",
+        "Pcell",
+        "Ks01",
+        "Ks10",
+        "Bp",
+        "Cp",
+    ],
     meta_fields=[],
 )
 
@@ -41,7 +71,51 @@ __all__ = [
     "tentative_operator_matvec",
     "tentative_patch_apply",
     "tentative_colored_apply",
+    "dense_blocks",
 ]
+
+
+def dense_blocks(geom, op):
+    """Reconstruct the dense (D, Bx, Cx) block tables of a TentativeOperator.
+
+    Identity on dense-table operators; expands the Kronecker factors of the
+    factored (uniform structured mesh) representation.  Diagnostic/test
+    helper — the hot paths never materialise these.
+    """
+    if op.Sown is None:
+        return op.D, op.Bx, op.Cx
+    Sown = flat_table(op.Sown)
+    Ks01 = flat_table(op.Ks01)
+    Ks10 = flat_table(op.Ks10)
+    d1 = Sown.shape[0]
+    nu = 2 * d1
+    nc = Sown.shape[2]
+    nf = geom.n_facets
+    if Ks01.shape[2] < nf:  # tiled tables truncate the (all-zero) boundary tail
+        pad = ((0, 0), (0, 0), (0, nf - Ks01.shape[2]))
+        Ks01 = jnp.pad(Ks01, pad)
+        Ks10 = jnp.pad(Ks10, pad)
+    eye2 = jnp.eye(2, dtype=Sown.dtype)
+    nch = geom.shift[0] * geom.shift[1]
+    D = jnp.einsum("ab,ijc->aibjc", eye2, Sown).reshape(nu, nu, nc)
+    D = D + jnp.concatenate(
+        [
+            jnp.broadcast_to(op.Pcell[0][:, :, None], (nu, nu, nch)),
+            jnp.broadcast_to(op.Pcell[1][:, :, None], (nu, nu, nc - nch)),
+        ],
+        axis=2,
+    )
+    b = geom.fcol_bounds
+    msk = interior_mask(geom, 1)
+
+    def expand(Ks, Pk):
+        X = jnp.einsum("ab,ijf->aibjf", eye2, Ks).reshape(nu, nu, nf)
+        pen = jnp.zeros((nu, nu, nf), Sown.dtype)
+        for k in range(len(b) - 1):
+            pen = pen.at[:, :, b[k] : b[k + 1]].set(Pk[k][:, :, None])
+        return X + pen * msk[None, None, :]
+
+    return D, expand(Ks01, op.Bp), expand(Ks10, op.Cp)
 
 
 def trace_block_jacobi(cs):
@@ -65,7 +139,7 @@ class TentativeOperator:
     form from tabulations per application.
     """
 
-    D: jnp.ndarray  # (nu, nu, nc) own-cell blocks
+    D: jnp.ndarray  # (nu, nu, nc) own-cell blocks (None on the factored path)
     Bx: jnp.ndarray  # (nu, nu, nf) -c K01: plus-test rows, minus-side trial
     Cx: jnp.ndarray  # (nu, nu, nf) -c K10: minus-test rows, plus-side trial
     Dinv: jnp.ndarray  # (nu, nu, nc)
@@ -73,6 +147,24 @@ class TentativeOperator:
     Dinv0: jnp.ndarray  # (nu, nu, nf) Dinv gathered to each facet's plus cell
     # (stored: gathering 400-element columns per application runs at
     # per-element DRAM speed — measured 183 ms per gather at 512^2)
+    #
+    # FACTORED tables (uniform structured meshes, geom.uniform is not None;
+    # the above dense D/Bx/Cx are None then).  The 2x2-component structure
+    #     D  = eye2 (x) Sown + Pcell[half]          (Pcell constant per half)
+    #     Bx = eye2 (x) Ks01 + Bp[color]            (Bp constant per color)
+    #     Cx = eye2 (x) Ks10 + Cp[color]
+    # cuts the matvec's HBM table traffic ~4x: the varying factors are
+    # (d1, d1, .) scalar blocks instead of (nu, nu, .) = (2 d1, 2 d1, .)
+    # vector blocks, and the penalty parts collapse to (nu, nu) constants
+    # applied as MXU GEMMs.  The 5 effective matvecs per preconditioned GMRES
+    # iteration (1 Krylov + 4 inside the symmetric colored sweep) made table
+    # streaming the dominant step cost at 512^2 (BASELINE.md roofline).
+    Sown: jnp.ndarray = None  # (d1, d1, nc) scalar own-cell blocks
+    Pcell: jnp.ndarray = None  # (2, nu, nu) per-half constant penalty block
+    Ks01: jnp.ndarray = None  # (d1, d1, nf) scalar cross blocks, plus rows
+    Ks10: jnp.ndarray = None  # (d1, d1, nf) scalar cross blocks, minus rows
+    Bp: jnp.ndarray = None  # (ncol, nu, nu) per-color constant cross penalty
+    Cp: jnp.ndarray = None  # (ncol, nu, nu)
     #
     # NOTE: bf16 table copies for the preconditioner were tried TWICE and are
     # a dead end — both the patch Schur factors (iterations 20 -> 60-210 at
@@ -133,6 +225,13 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
     dtype = star_bl.dtype
     eye2 = jnp.eye(2, dtype=dtype)
     upw = 1.0 if upwind else 0.0
+    # factored (Kronecker-structured) tables on uniform structured meshes:
+    # see the TentativeOperator docstring
+    factored = (
+        geom.uniform is not None
+        and geom.shift is not None
+        and _fact_wanted()
+    )
 
     # ------------------------------------------------------------------
     # own-cell blocks D = mass - c * f_impl_own
@@ -184,18 +283,49 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
         coeff = (-c) * (
             0.5 * geom.cfsign[l][None, :] * sn_l - upw * jnp.abs(sn_l)
         ) * w_l * int_l[None, :]
-        pen_l = c * alpha * hfi_l * flen_l  # (nc,)
-        nn_l = n_l[:, None, :] * n_l[None, :, :]  # (2, 2, nc)
         onehot = (geom.cf_tab[l][None, :] == jnp.arange(6)[:, None]).astype(dtype)
         Ct = Ct + onehot[:, None, :] * coeff[None, :, :]
-        NNt = NNt + onehot[:, None, None, :] * (pen_l[None, None, :] * nn_l)[None]
+        if not factored:
+            pen_l = c * alpha * hfi_l * flen_l  # (nc,)
+            nn_l = n_l[:, None, :] * n_l[None, :, :]  # (2, 2, nc)
+            NNt = NNt + onehot[:, None, None, :] * (pen_l[None, None, :] * nn_l)[None]
     S_own = S_own + jnp.einsum("tijq,tqc->ijc", Gt, Ct)
-    pen5 = sum(
-        Pt[t][None, :, None, :, None] * NNt[t][:, None, :, None, :]
-        for t in range(6)
-    )
-    D5 = jnp.einsum("ab,ijc->aibjc", eye2, S_own) + pen5
-    D_bl = D5.reshape(nu, nu, nc)
+    if factored:
+        # consumed by D_bl below AND stored: materialise once
+        S_own = jax.lax.optimization_barrier(S_own)
+        # penalty blocks collapse to per-half CONSTANTS: every cell of a
+        # half has congruent facets (slots with fixed trace table, length,
+        # normal direction — mesh/triangle_mesh.py:_attach_uniform_structure)
+        halves_u = geom.uniform[1]
+        Pcell_parts = []
+        for h in (0, 1):
+            Ph = jnp.zeros((2, d1, 2, d1), dtype)
+            for (t, ln, nx_, ny_) in halves_u[h]:
+                pen = c * alpha  # = c * alpha * hF_inv * flen, hF_inv = 1/flen
+                nvec = jnp.asarray([nx_, ny_], dtype)
+                nn = nvec[:, None] * nvec[None, :]
+                Ph = Ph + pen * nn[:, None, :, None] * Pt[t][None, :, None, :]
+            Pcell_parts.append(Ph.reshape(nu, nu))
+        Pcell = jnp.stack(Pcell_parts)  # (2, nu, nu)
+        nch = geom.shift[0] * geom.shift[1]
+        pen_cells = jnp.concatenate(
+            [
+                jnp.broadcast_to(Pcell[0][:, :, None], (nu, nu, nch)),
+                jnp.broadcast_to(Pcell[1][:, :, None], (nu, nu, nc - nch)),
+            ],
+            axis=2,
+        )
+        D_bl = (
+            jnp.einsum("ab,ijc->aibjc", eye2, S_own).reshape(nu, nu, nc)
+            + pen_cells
+        )
+    else:
+        pen5 = sum(
+            Pt[t][None, :, None, :, None] * NNt[t][:, None, :, None, :]
+            for t in range(6)
+        )
+        D5 = jnp.einsum("ab,ijc->aibjc", eye2, S_own) + pen5
+        D_bl = D5.reshape(nu, nu, nc)
     Dinv_bl = gauss_jordan_inv_bl(D_bl)
 
     # ------------------------------------------------------------------
@@ -219,29 +349,55 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
         U0[q, :, None, :] * (U1[q] * s01[q][None, :])[None, :, :]
         for q in range(nqf)
     )
-    K01p = sum(
-        U0[q, :, None, :] * (U1[q] * wf[q][None, :])[None, :, :]
-        for q in range(nqf)
-    ) * penf[None, None, :]
-    Bx = (
-        jnp.einsum("ab,ijf->aibjf", eye2, K01s)
-        + K01p[None, :, None, :, :] * nnf[:, None, :, None, :]
-    ).reshape(nu, nu, nf)
     K10s = sum(
         U1[q, :, None, :] * (U0[q] * s10[q][None, :])[None, :, :]
         for q in range(nqf)
     )
-    K10p = sum(
-        U1[q, :, None, :] * (U0[q] * wf[q][None, :])[None, :, :]
-        for q in range(nqf)
-    ) * penf[None, None, :]
-    Cx = (
-        jnp.einsum("ab,ijf->aibjf", eye2, K10s)
-        + K10p[None, :, None, :, :] * nnf[:, None, :, None, :]
-    ).reshape(nu, nu, nf)
-    # multi-consumer tables: materialise so XLA does not refuse (= recompute)
-    # their producer chains into every consumer
-    Bx, Cx = jax.lax.optimization_barrier((Bx, Cx))
+    if factored:
+        # cross penalty blocks are per-color CONSTANTS (congruent facets):
+        #   Bp_k = penf_k * (sum_q wqf U0 (x) U1 * flen_k) (x) (n_k (x) n_k)
+        # with penf_k * flen_k = -c * alpha exactly (hF_inv = 1/flen)
+        colors_u = geom.uniform[0]
+        Bp_parts, Cp_parts = [], []
+        for (t0, t1, ln, nx_, ny_) in colors_u:
+            PM = jnp.einsum(
+                "q,qi,qj->ij", geom.wqf, geom.tphi1[t0], geom.tphi1[t1]
+            )
+            nvec = jnp.asarray([nx_, ny_], dtype)
+            nn = nvec[:, None] * nvec[None, :]
+            coef = (-c) * alpha
+            Bp_parts.append(
+                coef * (nn[:, None, :, None] * PM[None, :, None, :]).reshape(nu, nu)
+            )
+            Cp_parts.append(
+                coef * (nn[:, None, :, None] * PM.T[None, :, None, :]).reshape(nu, nu)
+            )
+        Bp = jnp.stack(Bp_parts)  # (ncol, nu, nu)
+        Cp = jnp.stack(Cp_parts)
+        Bx = Cx = None
+        # multi-consumer tables: materialise so XLA does not refuse
+        # (= recompute) their producer chains into every consumer
+        K01s, K10s = jax.lax.optimization_barrier((K01s, K10s))
+    else:
+        K01p = sum(
+            U0[q, :, None, :] * (U1[q] * wf[q][None, :])[None, :, :]
+            for q in range(nqf)
+        ) * penf[None, None, :]
+        Bx = (
+            jnp.einsum("ab,ijf->aibjf", eye2, K01s)
+            + K01p[None, :, None, :, :] * nnf[:, None, :, None, :]
+        ).reshape(nu, nu, nf)
+        K10p = sum(
+            U1[q, :, None, :] * (U0[q] * wf[q][None, :])[None, :, :]
+            for q in range(nqf)
+        ) * penf[None, None, :]
+        Cx = (
+            jnp.einsum("ab,ijf->aibjf", eye2, K10s)
+            + K10p[None, :, None, :, :] * nnf[:, None, :, None, :]
+        ).reshape(nu, nu, nf)
+        # multi-consumer tables: materialise so XLA does not refuse
+        # (= recompute) their producer chains into every consumer
+        Bx, Cx = jax.lax.optimization_barrier((Bx, Cx))
 
     # ------------------------------------------------------------------
     # patch Schur factors  S = D_minus - Cx Dinv_plus Bx
@@ -262,7 +418,19 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
             b0, b1 = geom.fcol_bounds[k], geom.fcol_bounds[k + 1]
             D1 = st.rect_flat(st.roll2(geom, Dup, off), rect)
             Dinv0_k = st.rect_flat(Dinv_lo, rect)
-            Sc = D1 - _bmm(Cx[:, :, b0:b1], _bmm(Dinv0_k, Bx[:, :, b0:b1]))
+            if factored:
+                # reconstruct the dense color-slice cross blocks as
+                # transients (the stored tables stay factored)
+                Bx_k = (
+                    jnp.einsum("ab,ijf->aibjf", eye2, K01s[:, :, b0:b1])
+                ).reshape(nu, nu, b1 - b0) + Bp[k][:, :, None]
+                Cx_k = (
+                    jnp.einsum("ab,ijf->aibjf", eye2, K10s[:, :, b0:b1])
+                ).reshape(nu, nu, b1 - b0) + Cp[k][:, :, None]
+            else:
+                Bx_k = Bx[:, :, b0:b1]
+                Cx_k = Cx[:, :, b0:b1]
+            Sc = D1 - _bmm(Cx_k, _bmm(Dinv0_k, Bx_k))
             if geom.fint is not None:
                 # slab-local layout: color rects include boundary/dummy
                 # positions — give them an identity Schur block (the patch
@@ -275,6 +443,31 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
         if nbnd:
             Sinv_parts.append(
                 jnp.broadcast_to(eye[:, :, None], (nu, nu, nbnd)).astype(store)
+            )
+        if factored:
+            # store the scalar tables Pallas-tiled when the kernel applies
+            # (f32, tileable layout) — flat otherwise (JAX reference path)
+            blk = _fact_block(geom)
+            use_pallas = (
+                blk is not None
+                and dtype == jnp.float32
+                and nc % blk == 0
+                and geom.fcol_bounds[-1] <= (nf // blk) * blk
+            )
+            tt = (lambda T: tile_table(T, blk)) if use_pallas else (lambda T: T)
+            return TentativeOperator(
+                D=None,
+                Bx=None,
+                Cx=None,
+                Dinv=Dinv_bl,
+                Sinv=jnp.concatenate(Sinv_parts, axis=2),
+                Dinv0=None,
+                Sown=tt(S_own),
+                Pcell=Pcell,
+                Ks01=tt(K01s),
+                Ks10=tt(K10s),
+                Bp=Bp,
+                Cp=Cp,
             )
         return TentativeOperator(
             D=D_bl,
@@ -344,13 +537,230 @@ def _assemble_cells_bl(geom, z0, z1):
     return out
 
 
+def _bm2(A, x):
+    """Scalar block applied to both components: (d1, d1, n) x (nu, n) -> (nu, n).
+
+    Unrolled over the contraction index as lane-parallel FMAs reading the A
+    table ONCE for both components (the einsum form of this contraction —
+    unlike _bm's — lowers through a batch-dim dot_general that relayouts the
+    operands batch-major: measured 24.5 ms vs ~1 ms at (10, 10, 787k)).
+    """
+    d1 = A.shape[0]
+    x2 = x.reshape(2, d1, -1)
+    out = 0.0
+    for j in range(d1):
+        out = out + x2[:, None, j, :] * A[None, :, j, :]
+    return out.reshape(x.shape)
+
+
+# ----------------------------------------------------------------------
+# Pallas factored-block apply: out = (eye2 (x) A + P) x, VMEM-resident
+# ----------------------------------------------------------------------
+# XLA's loop fusion of the _bm2 + constant-GEMM composition re-reads x from
+# HBM once per output row (measured: the factored matvec ran SLOWER than the
+# dense one despite 4x less table data).  The Pallas kernel holds the
+# (d1, d1, T) table tile, the (nu, T) field tile and the (nu, nu) constant in
+# VMEM and touches HBM exactly once per operand: table traffic IS the cost.
+
+
+def _fact_kernel_factory(d1):
+    nu = 2 * d1
+
+    def kernel(p_ref, a_ref, x_ref, o_ref):
+        # a (1, d1, d1, R, 128) VMEM; p (1, nu, nu) SMEM; x/o
+        # (nu, 1, R, 128) VMEM.  Every FMA runs on a FULL (R, 128)
+        # sublane x lane tile with the tiny-matrix indices unrolled as
+        # SCALAR multipliers — the (rows, T)-shaped formulation burned the
+        # VPU on sublane-padded row broadcasts (142 GB/s effective).
+        for a in range(2):
+            for i in range(d1):
+                row = a * d1 + i
+                acc = p_ref[0, row, 0] * x_ref[0, 0]
+                for j in range(1, nu):
+                    acc = acc + p_ref[0, row, j] * x_ref[j, 0]
+                for j in range(d1):
+                    acc = acc + a_ref[0, i, j] * x_ref[a * d1 + j, 0]
+                o_ref[row, 0] = acc
+
+    return kernel
+
+
+def tile_table(A, block):
+    """(d1, d1, M) scalar-block table -> Pallas-tiled (nt, d1, d1, R, 128).
+
+    The tiled layout puts whole (R, 128) = ``block`` element tiles minor so
+    BlockSpecs address them with full trailing dims (the TPU lowering
+    rejects partial second-minor blocks) and color offsets land on whole
+    leading-dim tiles.  One relayout per stage build; every Krylov
+    application then streams it tile-linearly.
+
+    Truncates to whole tiles: a non-multiple tail exists only on slab-local
+    facet layouts, where it is entirely boundary facets whose (masked)
+    table columns are exact zeros — never read by the tiled applies.
+    """
+    d1 = A.shape[0]
+    R = block // 128
+    nt = A.shape[2] // block
+    return A[:, :, : nt * block].reshape(d1, d1, nt, R, 128).transpose(
+        2, 0, 1, 3, 4
+    )
+
+
+def flat_table(T):
+    """Inverse view of :func:`tile_table` for diagnostics/tests."""
+    if T.ndim == 3:
+        return T
+    nt, d1, _, R, _ = T.shape
+    return T.transpose(1, 2, 0, 3, 4).reshape(d1, d1, nt * R * 128)
+
+
+def _fact_pallas(A5, Ptile, x, block, offset=0):
+    """Pallas launch of the factored block apply over x's batch range.
+
+    :arg A5: (NT, d1, d1, R, 128) tiled scalar-block table (tile_table)
+    :arg Ptile: (n_tiles, nu, nu) per-tile penalty constants for x's range
+    :arg x: (nu, m) field values; the A tiles used start at tile
+        ``offset // block`` — offset and m must be multiples of block
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _NT, d1, _, R, _ = A5.shape
+    nu, m = x.shape
+    ntile = m // block
+    off_t = offset // block
+    x4 = x.reshape(nu, ntile, R, 128)  # free: batch axis is contiguous
+    out = pl.pallas_call(
+        _fact_kernel_factory(d1),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((1, nu, nu), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, d1, d1, R, 128),
+                         lambda i: (i + off_t, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nu, 1, R, 128), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nu, 1, R, 128), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nu, ntile, R, 128), x.dtype),
+    )(Ptile, A5, x4)
+    return out.reshape(nu, m)
+
+
+def _fact_block(geom):
+    """Pallas tile size for the factored apply, or None for the JAX path.
+
+    Every color boundary and the cell lower/upper split must land on whole
+    blocks (on the [lowers; uppers] grid layouts all are multiples of ny,
+    and of 1024 from 128^2 up).  Prefer block = 1024: R = block/128 = 8
+    sublane-groups makes every (R, 128) tile a FULL native f32 (8, 128)
+    VMEM tile — R < 8 pads each tile to 8 sublanes, costing 8/R x in HBM
+    table traffic and VPU utilisation (measured 2x at 512^2, 4x at 256^2
+    with the earlier block = ny choice).
+    """
+    if geom.shift is None:
+        return None
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    for block in (1024, 512, 256, 128):
+        if any(b % block for b in geom.fcol_bounds):
+            continue
+        if (geom.shift[0] * geom.shift[1]) % block:
+            continue
+        return block
+    return None
+
+
+def _fact_apply(geom, A, P, x, per="color"):
+    """(eye2 (x) A + P-constant) x over the full batch axis.
+
+    Dispatches on the stored table layout: 5-D tiled tables (tile_table)
+    run the Pallas kernel; flat (d1, d1, M) tables run the JAX reference
+    path (small meshes, f64, CPU).
+
+    :arg P: (ncol, nu, nu) per-color constants (``per="color"``, facet
+        fields: boundary facets beyond the colors get ZERO penalty) or
+        (2, nu, nu) per-half constants (``per="half"``, cell fields)
+    """
+    nu, m = x.shape
+    if A.ndim == 5:
+        block = _fact_block(geom)
+        mfloor = (m // block) * block
+        ntile = mfloor // block
+        if per == "half":
+            nch = geom.shift[0] * geom.shift[1]
+            reps = [nch // block, ntile - nch // block]
+        else:
+            b = geom.fcol_bounds
+            reps = [(b[k + 1] - b[k]) // block for k in range(len(b) - 1)]
+            reps.append(ntile - b[-1] // block)
+            P = jnp.concatenate([P, jnp.zeros((1, nu, nu), P.dtype)])
+        Ptile = jnp.concatenate(
+            [
+                jnp.broadcast_to(P[k][None], (r, nu, nu))
+                for k, r in enumerate(reps)
+                if r > 0
+            ]
+        )
+        if mfloor == m:
+            return _fact_pallas(A, Ptile, x, block)
+        # non-multiple facet counts (slab-local layouts): the overhang is
+        # entirely boundary facets — zero penalty AND zero (masked) Ks
+        # columns, so the factored apply is identically zero there
+        z = _fact_pallas(A, Ptile, x[:, :mfloor], block)
+        return jnp.concatenate(
+            [z, jnp.zeros((nu, m - mfloor), x.dtype)], axis=1
+        )
+    z = _bm2(A, x)
+    if per == "half":
+        nch = geom.shift[0] * geom.shift[1]
+        return z + jnp.concatenate(
+            [P[0] @ x[:, :nch], P[1] @ x[:, nch:]], axis=1
+        )
+    b = geom.fcol_bounds
+    parts = [P[k] @ x[:, b[k] : b[k + 1]] for k in range(len(b) - 1)]
+    nbnd = m - b[-1]
+    if nbnd:
+        parts.append(jnp.zeros((nu, nbnd), x.dtype))
+    return z + jnp.concatenate(parts, axis=1)
+
+
+def _fact_cross_apply(geom, Ks, Pk, u):
+    """Factored cross-block application on a full (nu, nf) side field:
+    (eye2 (x) Ks) u  +  per-color constant penalty blocks."""
+    return _fact_apply(geom, Ks, Pk, u, per="color")
+
+
+def _fact_color_apply(geom, A, Pk, x, b0):
+    """Single-color factored cross apply: (eye2 (x) A[cols b0:b0+m] + Pk) x.
+
+    Color starts are multiples of the Pallas tile (= ny), so the table
+    tiles are addressed by block offset without materialising a slice.
+    """
+    nu, m = x.shape
+    if A.ndim == 5:
+        block = _fact_block(geom)
+        Ptile = jnp.broadcast_to(Pk[None], (m // block, nu, nu))
+        return _fact_pallas(A, Ptile, x, block, offset=b0)
+    return _bm2(A[:, :, b0 : b0 + m], x) + Pk @ x
+
+
 def _matvec_bl(geom, op, ub):
     """Assembled-block application on a component-major (nu, nc) field."""
-    r = _bm(op.D, ub)
     msk = interior_mask(geom, 1)[None, :]
     u0, u1 = _gather_sides_bl(geom, ub)
-    z0 = _bm(op.Bx, u1)  # contribution to plus-cell rows
-    z1 = _bm(op.Cx, u0) * msk  # minus-cell rows (zero on boundary)
+    if op.Sown is not None:  # factored tables (uniform structured mesh)
+        r = _fact_apply(geom, op.Sown, op.Pcell, ub, per="half")
+        z0 = _fact_cross_apply(geom, op.Ks01, op.Bp, u1)
+        # boundary positions inside slab-local color rects carry real plus
+        # values in u0 but no cross coupling: mask the minus rows
+        z1 = _fact_cross_apply(geom, op.Ks10, op.Cp, u0) * msk
+    else:
+        r = _bm(op.D, ub)
+        z0 = _bm(op.Bx, u1)  # contribution to plus-cell rows
+        z1 = _bm(op.Cx, u0) * msk  # minus-cell rows (zero on boundary)
     return r + _assemble_cells_bl(geom, z0, z1)
 
 
@@ -369,9 +779,14 @@ def _patch_apply_bl(geom, op, rb):
         from ..ops.structured import gather_plus
 
         Dinv0 = gather_plus(geom, op.Dinv)
-    t = r1 - _bm(op.Cx, _bm(Dinv0, r0))
-    y1 = _bm(op.Sinv, t) * msk
-    y0 = _bm(Dinv0, r0 - _bm(op.Bx, y1))
+    if op.Sown is not None:  # factored cross blocks
+        t = r1 - _fact_cross_apply(geom, op.Ks10, op.Cp, _bm(Dinv0, r0)) * msk
+        y1 = _bm(op.Sinv, t) * msk
+        y0 = _bm(Dinv0, r0 - _fact_cross_apply(geom, op.Ks01, op.Bp, y1))
+    else:
+        t = r1 - _bm(op.Cx, _bm(Dinv0, r0))
+        y1 = _bm(op.Sinv, t) * msk
+        y0 = _bm(Dinv0, r0 - _bm(op.Bx, y1))
     return _assemble_cells_bl(geom, y0, y1) / 3.0
 
 
@@ -417,9 +832,15 @@ def _patch_color_structured(geom, op, k, rb):
     r0 = st.rect_flat(lo, rect)
     r1 = st.rect_flat(st.roll2(geom, up, off), rect)
     Dinv0 = st.rect_flat(st.grid_halves(geom, op.Dinv)[0], rect)
-    t = r1 - _bm(op.Cx[:, :, b0:b1], _bm(Dinv0, r0))
-    y1 = _bm(op.Sinv[:, :, b0:b1], t)
-    y0 = _bm(Dinv0, r0 - _bm(op.Bx[:, :, b0:b1], y1))
+    if op.Sown is not None:  # factored cross blocks (single color slice)
+        w = _bm(Dinv0, r0)
+        t = r1 - _fact_color_apply(geom, op.Ks10, op.Cp[k], w, b0)
+        y1 = _bm(op.Sinv[:, :, b0:b1], t)
+        y0 = _bm(Dinv0, r0 - _fact_color_apply(geom, op.Ks01, op.Bp[k], y1, b0))
+    else:
+        t = r1 - _bm(op.Cx[:, :, b0:b1], _bm(Dinv0, r0))
+        y1 = _bm(op.Sinv[:, :, b0:b1], t)
+        y0 = _bm(Dinv0, r0 - _bm(op.Bx[:, :, b0:b1], y1))
     if geom.fint is not None:
         # slab-local layout: no patch correction at the boundary/dummy
         # positions inside the full rects (matches the global layout, whose

@@ -82,6 +82,11 @@ class TriangleMesh:
     # the TPU fast path (XLA's gather emitter runs at per-element DRAM
     # speed; slices/rolls stream at full bandwidth).
     shift_spec: tuple = None
+    # per-family geometric constants of a uniform structured mesh (see
+    # _attach_uniform_structure); None when any facet family is not
+    # congruent.  Enables the factored (Kronecker-structured) tentative
+    # operator tables of linalg/preconditioners.py.
+    uniform_spec: tuple = None
 
     @property
     def n_cells(self):
@@ -457,4 +462,119 @@ def attach_shift_structure(mesh, nx, ny, periodic):
         tuple(colors),
         tuple(bnd),
     )
+    return _attach_uniform_structure(mesh)
+
+
+def _attach_uniform_structure(mesh):
+    """Detect + canonicalize geometric uniformity of a shift-structured mesh.
+
+    On the generated square meshes every facet family (interior color or
+    boundary group) consists of congruent facets, but the floating-point
+    geometry pipeline produces values differing in the last ulps across a
+    family.  This pass verifies near-uniformity (rtol 1e-12), REWRITES the
+    per-facet normals / lengths to the family representative (making them
+    bitwise-constant per family — which is also what the exact geometry of
+    the uniform mesh prescribes), and records
+
+        mesh.uniform_spec = (colors_u, halves_u)
+        colors_u[k]    = (t_plus, t_minus, flen, n_x, n_y)  per interior color
+        halves_u[h][l] = (t_own, flen, n_x, n_y)   per (cell half, local slot)
+
+    as static Python scalars (t_* are trace-tabulation indices 2*local+flip).
+    These let the tentative-operator build factor its facet penalty blocks
+    into per-family CONSTANT (nu, nu) matrices on top of scalar (d1, d1, .)
+    advection tables — a ~4x HBM-traffic cut on the assembled matvec
+    (linalg/preconditioners.py).  Meshes failing any check keep
+    ``uniform_spec = None`` and nothing is rewritten.
+    """
+    spec = mesh.shift_spec
+    if spec is None:
+        return mesh
+    nx, ny, periodic, _slot_off, colors, bnd = spec[:6]
+    nch = nx * ny
+    rtol = 1.0e-12
+    ftab = 2 * mesh.facet_local + mesh.facet_flip  # (nf, 2)
+    bounds = mesh.facet_color_bounds
+
+    def rep(a):
+        """Representative value of a near-constant array, or None."""
+        a = np.asarray(a)
+        r = a[0]
+        tol = rtol * max(1.0, float(np.max(np.abs(a))))
+        return r if np.all(np.abs(a - r) <= tol) else None
+
+    # families: interior colors then boundary groups, each a facet slice
+    fams = [(slice(bounds[k], bounds[k + 1]), True) for k in range(len(colors))]
+    fams += [
+        (slice(f0, f0 + ni * nj), False) for (_h, _l, _i0, _j0, ni, nj, f0) in bnd
+    ]
+
+    colors_u = []
+    canon_n = mesh.normals.copy()
+    canon_len = mesh.facet_lengths.copy()
+    for fam, interior in fams:
+        # the LOCAL slot must be constant per family; the flip bit may vary
+        # (periodic wrap seams) as long as both sides flip TOGETHER — a
+        # joint flip mirrors the facet quadrature, under which the penalty
+        # mass products (all that the uniform constants feed) are invariant
+        t0 = ftab[fam, 0]
+        if not np.all(t0 // 2 == t0[0] // 2):
+            return mesh
+        if interior:
+            t1 = ftab[fam, 1]
+            if not np.all(t1 // 2 == t1[0] // 2):
+                return mesh
+            if not np.all((t0 % 2) == (t1 % 2) ^ (t0[0] % 2) ^ (t1[0] % 2)):
+                return mesh
+        ln = rep(mesh.facet_lengths[fam])
+        n0 = rep(canon_n[fam, 0])
+        n1 = rep(canon_n[fam, 1])
+        if ln is None or n0 is None or n1 is None:
+            return mesh
+        canon_len[fam] = ln
+        canon_n[fam, 0] = n0
+        canon_n[fam, 1] = n1
+        if interior:
+            colors_u.append(
+                (int(t0[0]), int(t1[0]), float(ln), float(n0), float(n1))
+            )
+
+    # per (half, slot) own-cell constants, spanning interior AND boundary
+    # facets of the slot (their canonicalized geometry must agree; normal
+    # sign is irrelevant — only n (x) n enters the penalty)
+    halves_u = []
+    for h in (0, 1):
+        cells = np.arange(h * nch, (h + 1) * nch)
+        slots = []
+        for l in range(3):
+            fl = mesh.cell_facets[cells, l]
+            side = mesh.cell_facet_side[cells, l]
+            t = ftab[fl, side]
+            # flip-insensitive (see the color check above): the own-cell
+            # penalty products Pt[2l] == Pt[2l+1] under symmetric quadrature
+            if not np.all(t // 2 == t[0] // 2):
+                return mesh
+            # a slot can span two families (interior color + boundary group)
+            # whose canonical representatives differ in the last ulp —
+            # tolerance-compare, the ~1e-16 slack only perturbs the factored
+            # operator at the level of a single rounding
+            if rep(canon_len[fl]) is None:
+                return mesh
+            nn = canon_n[fl]  # (nch, 2), constant up to sign within the slot
+            s = np.where(nn @ canon_n[fl[0]] >= 0.0, 1.0, -1.0)
+            if rep(s[:, None] * nn - canon_n[fl[0]][None, :] + 1.0) is None:
+                return mesh
+            slots.append(
+                (
+                    int(t[0]),
+                    float(canon_len[fl[0]]),
+                    float(canon_n[fl[0], 0]),
+                    float(canon_n[fl[0], 1]),
+                )
+            )
+        halves_u.append(tuple(slots))
+
+    mesh.normals = canon_n
+    mesh.facet_lengths = canon_len
+    mesh.uniform_spec = (tuple(colors_u), tuple(halves_u))
     return mesh

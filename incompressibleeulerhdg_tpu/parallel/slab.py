@@ -119,6 +119,18 @@ class SlabDecomposition:
         )
         self.fcol_bounds = (0, A, 2 * A, 3 * A)
 
+        # uniform-geometry constants reordered to the LOCAL color order
+        # (local color k has plus slot k; global color order may differ)
+        uspec = getattr(mesh, "uniform_spec", None)
+        if uspec is not None:
+            by_slot = {entry[0] // 2: entry for entry in uspec[0]}
+            self.local_uniform = (
+                tuple(by_slot[l] for l in range(3)),
+                uspec[1],
+            )
+        else:
+            self.local_uniform = None
+
         # ---- stacked local Geoms ------------------------------------------
         geoms = [self._local_geom(gh, mesh, d) for d in range(n_slabs)]
         self.geom = jax.device_put(_stack(geoms))
@@ -194,6 +206,7 @@ class SlabDecomposition:
             fcol_bounds=self.fcol_bounds,
             fcol_orphans=False,
             shift=self.local_spec,
+            uniform=self.local_uniform,
         )
 
     def _local_cs(self, cs, cs_host, mesh, d):

@@ -24,6 +24,7 @@ from incompressibleeulerhdg_tpu.linalg.preconditioners import (
     build_tentative_operator,
     tentative_operator_matvec,
     tentative_colored_apply,
+    dense_blocks,
 )
 from incompressibleeulerhdg_tpu.linalg.condense import (
     build_condensed_system,
@@ -107,7 +108,14 @@ def test_tentative_operator_parity(name, degree):
     op_s = build_tentative_operator(geom, star, c, 1.0, True)
     op_g = build_tentative_operator(geom0, star, c, 1.0, True)
     assert op_s.Dinv0 is None and op_g.Dinv0 is not None
-    for fld in ("D", "Bx", "Cx", "Dinv", "Sinv"):
+    # the structured build stores FACTORED tables on these uniform meshes;
+    # reconstruct the dense blocks for the table-level comparison
+    assert op_s.Sown is not None and op_g.Sown is None
+    D_s, Bx_s, Cx_s = dense_blocks(geom, op_s)
+    for fld, a in (("D", D_s), ("Bx", Bx_s), ("Cx", Cx_s)):
+        b = np.asarray(getattr(op_g, fld))
+        assert np.allclose(np.asarray(a), b, atol=1e-11), fld
+    for fld in ("Dinv", "Sinv"):
         a, b = np.asarray(getattr(op_s, fld)), np.asarray(getattr(op_g, fld))
         assert np.allclose(a, b, atol=1e-11), fld
 

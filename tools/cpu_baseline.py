@@ -70,9 +70,12 @@ def build_matrices(nx, degree=2):
     mesh = disc.mesh
 
     # ---- tentative operator: cell-major dof numbering, dense blocks ----
-    D = np.asarray(op.D).transpose(2, 0, 1)  # (nc, nu, nu)
-    Bx = np.asarray(op.Bx).transpose(2, 0, 1)[:n_int]
-    Cx = np.asarray(op.Cx).transpose(2, 0, 1)[:n_int]
+    from incompressibleeulerhdg_tpu.linalg.preconditioners import dense_blocks
+
+    D_bl, Bx_bl, Cx_bl = dense_blocks(geom, op)
+    D = np.asarray(D_bl).transpose(2, 0, 1)  # (nc, nu, nu)
+    Bx = np.asarray(Bx_bl).transpose(2, 0, 1)[:n_int]
+    Cx = np.asarray(Cx_bl).transpose(2, 0, 1)[:n_int]
     fc = mesh.facet_cells[:n_int]
 
     ii = (np.arange(nc)[:, None, None] * nu + np.arange(nu)[None, :, None])

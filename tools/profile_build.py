@@ -74,8 +74,10 @@ op = timeit("full build", j_full, star)
 # primitives it is composed of, on the same shapes.
 nu = 2 * geom.d1
 
+op_D, op_Bx, op_Cx = jax.jit(lambda o: P.dense_blocks(geom, o))(op)
+
 j_dinv = jax.jit(lambda D: gauss_jordan_inv_bl(D))
-timeit("GJ inverse (nu,nu,nc)", j_dinv, op.D)
+timeit("GJ inverse (nu,nu,nc)", j_dinv, op_D)
 
 from incompressibleeulerhdg_tpu.ops import structured as st
 
@@ -94,7 +96,7 @@ def schur_color(D, Dinv, Bx, Cx):
 
 
 j_schur = jax.jit(schur_color)
-timeit("one color Schur+inv", j_schur, op.D, op.Dinv, op.Bx, op.Cx)
+timeit("one color Schur+inv", j_schur, op_D, op.Dinv, op_Bx, op_Cx)
 
 j_bmm = jax.jit(lambda A, B: P._bmm(A, B))
-timeit("one _bmm (nu,nu,nf/3)", j_bmm, op.Bx[:, :, b0:b1], op.Cx[:, :, b0:b1])
+timeit("one _bmm (nu,nu,nf/3)", j_bmm, op_Bx[:, :, b0:b1], op_Cx[:, :, b0:b1])
