@@ -614,13 +614,14 @@ def flat_table(T):
     return T.transpose(1, 2, 0, 3, 4).reshape(d1, d1, nt * R * 128)
 
 
-def _fact_pallas(A5, Ptile, x, block, offset=0):
+def _fact_pallas(A5, Ptile, x, block, offset=0, interpret=False):
     """Pallas launch of the factored block apply over x's batch range.
 
     :arg A5: (NT, d1, d1, R, 128) tiled scalar-block table (tile_table)
     :arg Ptile: (n_tiles, nu, nu) per-tile penalty constants for x's range
     :arg x: (nu, m) field values; the A tiles used start at tile
         ``offset // block`` — offset and m must be multiples of block
+    :arg interpret: run the kernel in Pallas interpret mode (CPU testing)
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -630,21 +631,21 @@ def _fact_pallas(A5, Ptile, x, block, offset=0):
     ntile = m // block
     off_t = offset // block
     x4 = x.reshape(nu, ntile, R, 128)  # free: batch axis is contiguous
+    mem = {} if interpret else dict(memory_space=pltpu.VMEM)
+    smem = {} if interpret else dict(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         _fact_kernel_factory(d1),
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((1, nu, nu), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nu, nu), lambda i: (i, 0, 0), **smem),
             pl.BlockSpec((1, d1, d1, R, 128),
-                         lambda i: (i + off_t, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nu, 1, R, 128), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         lambda i: (i + off_t, 0, 0, 0, 0), **mem),
+            pl.BlockSpec((nu, 1, R, 128), lambda i: (0, i, 0, 0), **mem),
         ],
         out_specs=pl.BlockSpec((nu, 1, R, 128), lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
+                               **mem),
         out_shape=jax.ShapeDtypeStruct((nu, ntile, R, 128), x.dtype),
+        interpret=interpret,
     )(Ptile, A5, x4)
     return out.reshape(nu, m)
 

@@ -220,3 +220,45 @@ def test_disk_mesh_falls_back():
     assert getattr(m, "shift_spec", None) is None
     disc = HDGDiscretisation(m, 1, dtype=jnp.float64)
     assert disc.geom.shift is None
+
+
+def test_fact_pallas_kernel_matches():
+    """The Pallas factored block-apply kernel (interpret mode on CPU)
+    reproduces the JAX reference path (eye2 (x) A + per-tile constant),
+    including a nonzero tile offset (the single-color apply)."""
+    from incompressibleeulerhdg_tpu.linalg.preconditioners import (
+        _bm2,
+        _fact_pallas,
+        tile_table,
+    )
+
+    rng = np.random.default_rng(11)
+    d1, block, ntile = 5, 128, 3
+    nu, M = 2 * d1, block * ntile
+    A = jnp.asarray(rng.standard_normal((d1, d1, M)), jnp.float32)
+    P = jnp.asarray(rng.standard_normal((ntile, nu, nu)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((nu, M)), jnp.float32)
+
+    ref = np.asarray(_bm2(A, x)) + np.concatenate(
+        [P[t] @ x[:, t * block : (t + 1) * block] for t in range(ntile)],
+        axis=1,
+    )
+    got = np.asarray(
+        _fact_pallas(tile_table(A, block), P, x, block, interpret=True)
+    )
+    assert np.allclose(got, ref, atol=1e-4), np.abs(got - ref).max()
+
+    # offset: apply tiles [1, 2] only (the per-color path addresses the
+    # shared table by block offset without materialising a slice)
+    xs = x[:, block:]
+    ref2 = np.asarray(_bm2(A[:, :, block:], xs)) + np.concatenate(
+        [P[1 + t] @ xs[:, t * block : (t + 1) * block] for t in range(2)],
+        axis=1,
+    )
+    got2 = np.asarray(
+        _fact_pallas(
+            tile_table(A, block), P[1:], xs, block, offset=block,
+            interpret=True,
+        )
+    )
+    assert np.allclose(got2, ref2, atol=1e-4), np.abs(got2 - ref2).max()
