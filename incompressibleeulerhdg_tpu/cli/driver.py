@@ -93,6 +93,13 @@ def build_parser():
         help="runtime floating-point precision (float32 for the TPU fast path)",
     )
     parser.add_argument(
+        "--n_devices",
+        type=int,
+        default=1,
+        help="slab-decompose the solve over N devices (HDG IMEX on the "
+        "unit-square mesh; the analogue of the reference's mpiexec -n)",
+    )
+    parser.add_argument(
         "--checkpoint_every",
         type=int,
         default=0,
@@ -203,6 +210,7 @@ def main(argv=None):
                 use_projection_method=args.use_projection_method,
                 n_richardson=args.richardson,
                 callbacks=callbacks,
+                n_devices=args.n_devices,
             )
         else:
             raise RuntimeError(
@@ -234,6 +242,8 @@ def main(argv=None):
     print(f"advect tracer = {args.tracer_advection}")
     print(f"timestepping method = {timestepper.label}")
     print(f"dtype = {args.dtype}")
+    if args.n_devices > 1:
+        print(f"slab decomposition over {args.n_devices} devices")
     print(f"jax devices = {jax.devices()}")
     print()
 
@@ -266,6 +276,9 @@ def main(argv=None):
         q_0 = lambda x, y: jnp.sin(2 * jnp.pi * x) * jnp.sin(2 * jnp.pi * y)
     else:
         q_0 = None
+
+    if args.n_devices > 1 and not hasattr(timestepper, "n_devices"):
+        raise RuntimeError("--n_devices > 1 is supported for the HDG IMEX schemes")
 
     solve_kwargs = {}
     if args.checkpoint_every or args.resume:

@@ -68,6 +68,9 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
     :arg use_projection_method: Richardson + projection instead of monolithic
     :arg n_richardson: number of Richardson iterations
     :arg callbacks: per-timestep callbacks
+    :arg n_devices: run ``solve`` slab-decomposed over this many devices
+        (parallel/slab.py; the analogue of the reference's transparent
+        ``mpiexec -n`` domain decomposition).  1 = single device.
     """
 
     tableau_name = None  # set by subclasses
@@ -81,6 +84,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         n_richardson=2,
         label=None,
         callbacks=None,
+        n_devices=1,
     ):
         tab = TABLEAUS[self.tableau_name]
         super().__init__(disc, dt, label or tab.label)
@@ -89,6 +93,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         self.use_projection_method = use_projection_method
         self.n_richardson = n_richardson
         self.callbacks = [] if callbacks is None else callbacks
+        self.n_devices = n_devices
         # penalty and stabilisation parameters (hdg_imex.py:55-58)
         self.alpha_penalty = 1.0
         self.tau = 1.0
@@ -670,6 +675,20 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         geom = self.geom
         s = self.nstages
         nt = self.get_timesteps(T_final, warmup)
+        if self.n_devices > 1:
+            if q_initial is not None:
+                raise RuntimeError(
+                    "tracer advection is not supported with n_devices > 1"
+                )
+            if checkpoint_every or resume:
+                raise RuntimeError(
+                    "checkpoint/resume is not supported with n_devices > 1"
+                )
+            if len(jax.devices()) < self.n_devices:
+                raise RuntimeError(
+                    f"n_devices={self.n_devices} but only "
+                    f"{len(jax.devices())} jax devices are visible"
+                )
         ck_config = {
             "scheme": self.tableau_name,
             "n_cells": int(geom.n_cells),
@@ -726,18 +745,36 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             callback.reset()
             callback(stage_Q[0], stage_p[0], 0.0, q_tracer=q_tracer)
 
-        step_fn = self._get_step(f_rhs, q_tracer is not None)
+        dec = None
+        if self.n_devices > 1:
+            from ..parallel import slab as _slab
+
+            Q_shape, p_shape = Q0.shape, p0.shape
+            dec = _slab.build_slab_decomposition(
+                self.disc, self, self.n_devices
+            )
+            dist_step = _slab.make_distributed_step(dec, self, f_rhs)
+            stage_Q, stage_p, stage_lam = _slab.scatter_state(
+                dec, stage_Q, stage_p, stage_lam
+            )
+        else:
+            step_fn = self._get_step(f_rhs, q_tracer is not None)
         dummy_q = q_tracer if q_tracer is not None else zerop
         cg = self.tracer_cg_space() if q_tracer is not None else None
         for k in tqdm.tqdm(range(k_start, nt)):
             with PerformanceLog("timestep"):
                 tn = jnp.asarray(k * self._dt, dtype=self.disc.dtype)
-                stage_Q, stage_p, stage_lam, q_new, counts = step_fn(
-                    self.geom, self._proj, self._cs, self._gtmg,
-                    stage_Q, stage_p, stage_lam, tn, dummy_q, cg,
-                )
-                if q_tracer is not None:
-                    dummy_q = q_tracer = q_new
+                if dec is not None:
+                    stage_Q, stage_p, stage_lam, counts = dist_step(
+                        stage_Q, stage_p, stage_lam, tn
+                    )
+                else:
+                    stage_Q, stage_p, stage_lam, q_new, counts = step_fn(
+                        self.geom, self._proj, self._cs, self._gtmg,
+                        stage_Q, stage_p, stage_lam, tn, dummy_q, cg,
+                    )
+                    if q_tracer is not None:
+                        dummy_q = q_tracer = q_new
                 jax.block_until_ready(stage_Q[0])
             for n in np.asarray(counts["tentative"]):
                 self.niter_tentative.update(int(n))
@@ -762,7 +799,21 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     config=ck_config,
                 )
             for callback in self.callbacks:
-                callback(stage_Q[0], stage_p[0], tn + self._dt, q_tracer=q_tracer)
+                if dec is not None:
+                    callback(
+                        jnp.asarray(
+                            dec.gather_cell_field(np.asarray(stage_Q[0]), Q_shape)
+                        ),
+                        jnp.asarray(
+                            dec.gather_cell_field(np.asarray(stage_p[0]), p_shape)
+                        ),
+                        tn + self._dt,
+                        q_tracer=None,
+                    )
+                else:
+                    callback(
+                        stage_Q[0], stage_p[0], tn + self._dt, q_tracer=q_tracer
+                    )
 
         print("average number of solver iterations")
         print(40 * "-")
@@ -789,6 +840,11 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     RuntimeWarning,
                 )
         print()
+        if dec is not None:
+            return (
+                jnp.asarray(dec.gather_cell_field(np.asarray(stage_Q[0]), Q_shape)),
+                jnp.asarray(dec.gather_cell_field(np.asarray(stage_p[0]), p_shape)),
+            )
         return stage_Q[0], stage_p[0]
 
 

@@ -118,3 +118,40 @@ def test_slab_memory_is_partitioned():
     assert dec.nf_loc * 4 - (3 * dec.nxl + 4 * dec.ny) <= nf + 4 * dec.ny
     S = dec.cs.S
     assert S.shape[0] == 4 and S.shape[-1] == dec.nc_loc
+
+
+@needs_multidevice
+def test_driver_n_devices_cli(tmp_path, monkeypatch, capsys):
+    """The --n_devices driver flag runs the slab-decomposed solve end to end
+    (the user-facing analogue of the reference's transparent mpiexec -n) and
+    reproduces the single-device Taylor-Green error norms."""
+    from incompressibleeulerhdg_tpu.cli.driver import main
+
+    monkeypatch.chdir(tmp_path)
+    main(
+        [
+            "--nx", "8", "--degree", "1", "--dt", "0.1", "--tfinal", "0.2",
+            "--timestepper", "imex_ssp2_332", "--use_projection_method",
+            "--n_devices", "4",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "slab decomposition over 4 devices" in out
+    err = float(out.split("velocity error = ")[1].split()[0])
+    # single-device value for this config is 1.2242e-3; the distributed
+    # solve must agree to reduction-order noise
+    assert abs(err - 1.2242e-3) < 1e-6, err
+
+
+def test_driver_n_devices_rejected_for_non_imex(tmp_path, monkeypatch):
+    from incompressibleeulerhdg_tpu.cli.driver import main
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(RuntimeError, match="n_devices"):
+        main(
+            [
+                "--nx", "4", "--degree", "1", "--dt", "0.1", "--tfinal", "0.2",
+                "--discretisation", "dg", "--timestepper", "implicit",
+                "--n_devices", "4",
+            ]
+        )
