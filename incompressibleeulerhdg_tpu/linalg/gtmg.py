@@ -120,15 +120,20 @@ class TwoLevelTracePC:
 
 
 def _facet_endpoints(mesh):
-    """Global endpoint vertex ids of every facet in canonical lo->hi order."""
+    """Global endpoint vertex ids of every facet in CANONICAL order.
+
+    Canonical = the orientation the flip bits encode (geometric
+    coordinate-lexicographic, mesh/triangle_mesh.py) — NOT ascending gid,
+    which reverses on periodic wrap seams."""
     from ..mesh.triangle_mesh import LOCAL_FACET_VERTS
 
     cp = mesh.facet_cells[:, 0]
     lp = mesh.facet_local[:, 0]
     va = mesh.cells[cp, LOCAL_FACET_VERTS[lp, 0]]
     vb = mesh.cells[cp, LOCAL_FACET_VERTS[lp, 1]]
-    lo = np.minimum(va, vb)
-    hi = np.maximum(va, vb)
+    fl = mesh.facet_flip[:, 0].astype(bool)
+    lo = np.where(fl, vb, va)
+    hi = np.where(fl, va, vb)
     return np.stack([lo, hi], axis=1).astype(np.int32)
 
 
@@ -538,17 +543,27 @@ def prolong(pc, zc):
     coarse solution first.
     """
     if pc.dist is not None:
-        from ..ops.structured import shift2, rect_flat
+        from ..ops.structured import _shift_axis, rect_flat
 
-        axis_name, n_slabs, Mx, My, crows, groups = pc.dist
+        axis_name, n_slabs, Mx, My, crows, groups, wrap = pc.dist
         zg = zc.reshape(Mx, My)  # replicated global coarse solution
+        if wrap:
+            # periodic i seam: the last slab's interface row is row 0 —
+            # extend the canvas so the dynamic row slice never wraps
+            zg = jnp.concatenate([zg, zg[:1]], axis=0)
         row0 = jax.lax.axis_index(axis_name) * (crows - 1)
         local = jax.lax.dynamic_slice(zg, (row0, jnp.int32(0)), (crows, My))
+
+        def shv(a, d):
+            # i offsets stay inside the local (crows, My) canvas; j offsets
+            # wrap on periodic meshes (the H family's j = ny-1 seam)
+            return _shift_axis(_shift_axis(a, d[0], -2, False), d[1], -1, wrap)
+
         lo_parts, hi_parts = [], []
         for (f0, f1, i0, j0, ni, nj, dlo, dhi) in groups:
             rect = (i0, j0, ni, nj)
-            lo_parts.append(rect_flat(shift2(local, dlo, False), rect))
-            hi_parts.append(rect_flat(shift2(local, dhi, False), rect))
+            lo_parts.append(rect_flat(shv(local, dlo), rect))
+            hi_parts.append(rect_flat(shv(local, dhi), rect))
         lo = jnp.concatenate(lo_parts)
         hi = jnp.concatenate(hi_parts)
         s = pc.trace_nodes[:, None]
@@ -582,20 +597,27 @@ def restrict(pc, lam):
     a_lo = jnp.sum(lam * (1.0 - s), axis=0)  # (nf,)
     a_hi = jnp.sum(lam * s, axis=0)
     if pc.dist is not None:
-        from ..ops.structured import shift2
+        from ..ops.structured import _shift_axis
 
-        axis_name, n_slabs, Mx, My, crows, groups = pc.dist
+        axis_name, n_slabs, Mx, My, crows, groups, wrap = pc.dist
         canvas = jnp.zeros((crows, My), lam.dtype)
         for (f0, f1, i0, j0, ni, nj, dlo, dhi) in groups:
             for arr, d in ((a_lo, dlo), (a_hi, dhi)):
                 seg = arr[f0:f1].reshape(ni, nj)
                 pad = jnp.pad(seg, ((i0, crows - i0 - ni), (j0, My - j0 - nj)))
-                # facet p contributes to canvas vertex p + d
-                canvas = canvas + shift2(pad, (-d[0], -d[1]), False)
+                # facet p contributes to canvas vertex p + d: adjoint shift
+                # by -d (i stays inside the local canvas; j wraps on
+                # periodic meshes)
+                canvas = canvas + _shift_axis(
+                    _shift_axis(pad, -d[0], -2, False), -d[1], -1, wrap
+                )
         row0 = jax.lax.axis_index(axis_name) * (crows - 1)
+        rows = Mx + 1 if wrap else Mx  # periodic: extended canvas, fold below
         glob = jax.lax.dynamic_update_slice(
-            jnp.zeros((Mx, My), lam.dtype), canvas, (row0, jnp.int32(0))
+            jnp.zeros((rows, My), lam.dtype), canvas, (row0, jnp.int32(0))
         )
+        if wrap:
+            glob = glob[:Mx].at[0].add(glob[Mx])
         # shared slab-interface vertex rows are resolved by the sum; the
         # result is the REPLICATED global coarse residual (1 MB at 512^2)
         return jax.lax.psum(glob, axis_name).ravel()

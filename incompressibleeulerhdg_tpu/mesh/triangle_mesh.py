@@ -275,6 +275,28 @@ def build_mesh(vertices, cells, cell_coords=None, periodic=False, use_native=Tru
                 np.int32
             )
 
+    # ---- geometric canonical orientation ---------------------------------
+    # Connectivity orients each facet lo->hi by VERTEX GID.  On periodic
+    # meshes gids wrap, so the gid order reverses the geometric direction on
+    # seam facets — breaking the per-family constancy that the structured
+    # GTMG transfers and the slab decomposition rely on.  Re-canonicalize to
+    # the coordinate-lexicographic direction of the UNWRAPPED plus-cell
+    # endpoints (identical to gid order on non-periodic generated meshes,
+    # where gid = i * My + j is itself coordinate-lexicographic); all
+    # orientation consumers (ftab trace tables, facet endpoints, trace-node
+    # parameterization) read the flip bits, so the swap is self-consistent.
+    cp = facet_cells[:, 0]
+    lp = facet_local[:, 0]
+    pa_ = cell_coords[cp, LOCAL_FACET_VERTS[lp, 0]]
+    pb_ = cell_coords[cp, LOCAL_FACET_VERTS[lp, 1]]
+    fl_ = facet_flip[:, 0].astype(bool)
+    s_ = np.where(fl_[:, None], pb_, pa_)  # current canonical start coords
+    e_ = np.where(fl_[:, None], pa_, pb_)
+    swap = (s_[:, 0] > e_[:, 0]) | ((s_[:, 0] == e_[:, 0]) & (s_[:, 1] > e_[:, 1]))
+    facet_flip[swap, 0] ^= 1
+    interior_f = facet_cells[:, 1] >= 0
+    facet_flip[swap & interior_f, 1] ^= 1
+
     # geometry (from unwrapped per-cell coords)
     e1 = cell_coords[:, 1] - cell_coords[:, 0]
     e2 = cell_coords[:, 2] - cell_coords[:, 0]
@@ -292,7 +314,7 @@ def build_mesh(vertices, cells, cell_coords=None, periodic=False, use_native=Tru
         / det[:, None, None]
     )
 
-    # facet geometry from the plus cell, in canonical (lo -> hi gid) orientation
+    # facet geometry from the plus cell, in the canonical orientation above
     cp = facet_cells[:, 0]
     lp = facet_local[:, 0]
     a_loc = LOCAL_FACET_VERTS[lp, 0]

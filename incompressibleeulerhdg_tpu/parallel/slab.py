@@ -64,17 +64,19 @@ class SlabDecomposition:
         spec = mesh.shift_spec
         assert spec is not None, "slab decomposition needs a structured mesh"
         nx, ny, periodic = spec[0], spec[1], spec[2]
-        assert not periodic, "slab decomposition v1 supports Neumann meshes"
         assert nx % n_slabs == 0, f"n_slabs={n_slabs} must divide nx={nx}"
         nxl = nx // n_slabs
         self.disc = disc
         self.n_slabs = n_slabs
         self.nx, self.ny, self.nxl = nx, ny, nxl
+        self.periodic = periodic
         nch = nx * ny
         gh = disc._geom_host
         cf = mesh.cell_facets  # (nc, 3) global
         A = nxl * ny
-        self.nf_loc = 3 * A + nxl + ny
+        # periodic meshes have no boundary facets: the local layout is the
+        # three full interior colors; Neumann appends the T/L boundary groups
+        self.nf_loc = 3 * A if periodic else 3 * A + nxl + ny
         self.nc_loc = 2 * A
 
         # ---- local -> global index maps per slab --------------------------
@@ -86,17 +88,21 @@ class SlabDecomposition:
             fV = cf[low, 0]
             fD = cf[low, 1]
             fH = cf[low, 2]
-            up_top = nch + r0 * ny + (np.arange(nxl) * ny + (ny - 1))
-            fT = cf[up_top, 0]
-            if d == 0:
-                upL = nch + np.arange(ny)
-                fL = cf[upL, 1]
-                vL = np.ones(ny)
+            if periodic:
+                fmap = np.concatenate([fV, fD, fH])
+                valid = np.ones(3 * A)
             else:
-                fL = np.zeros(ny, dtype=cf.dtype)
-                vL = np.zeros(ny)
-            fmap = np.concatenate([fV, fD, fH, fT, fL])
-            valid = np.concatenate([np.ones(3 * A + nxl), vL])
+                up_top = nch + r0 * ny + (np.arange(nxl) * ny + (ny - 1))
+                fT = cf[up_top, 0]
+                if d == 0:
+                    upL = nch + np.arange(ny)
+                    fL = cf[upL, 1]
+                    vL = np.ones(ny)
+                else:
+                    fL = np.zeros(ny, dtype=cf.dtype)
+                    vL = np.zeros(ny)
+                fmap = np.concatenate([fV, fD, fH, fT, fL])
+                valid = np.concatenate([np.ones(3 * A + nxl), vL])
             cell_maps.append(cells)
             facet_maps.append(fmap)
             facet_valid.append(valid)
@@ -110,12 +116,15 @@ class SlabDecomposition:
             (1, 2, 0, 0, nxl, ny, (0, 0)),   # D
             (2, 0, 0, 0, nxl, ny, (0, -1)),  # H
         )
-        bnd = (
-            (1, 0, 0, ny - 1, nxl, 1, 3 * A),  # T
-            (1, 1, 0, 0, 1, ny, 3 * A + nxl),  # L
-        )
+        if periodic:
+            bnd = ()
+        else:
+            bnd = (
+                (1, 0, 0, ny - 1, nxl, 1, 3 * A),  # T
+                (1, 1, 0, 0, 1, ny, 3 * A + nxl),  # L
+            )
         self.local_spec = (
-            nxl, ny, False, spec[3], colors, bnd, (AXIS, n_slabs),
+            nxl, ny, periodic, spec[3], colors, bnd, (AXIS, n_slabs),
         )
         self.fcol_bounds = (0, A, 2 * A, 3 * A)
 
@@ -233,7 +242,7 @@ class SlabDecomposition:
     def _local_pc(self, pc, mesh, d):
         nxl, ny = self.nxl, self.ny
         Mx, My = pc.grid_shape
-        assert pc.coarse_kind == "fft_neumann", (
+        assert pc.coarse_kind in ("fft_neumann", "fft_periodic"), (
             "distributed GTMG v1 needs the structured FFT coarse solve"
         )
         # local vertex-canvas offsets of each facet family's endpoints,
@@ -245,9 +254,12 @@ class SlabDecomposition:
             (0, 0, nxl, ny),
             (0, 0, nxl, ny),
             (0, 0, nxl, ny),
-            (0, ny - 1, nxl, 1),
-            (0, 0, 1, ny),
         ]
+        if not self.periodic:
+            fam_rects += [
+                (0, ny - 1, nxl, 1),
+                (0, 0, 1, ny),
+            ]
         f0 = 0
         for fam, rect in enumerate(fam_rects):
             i0, j0, ni, nj = rect
@@ -261,6 +273,11 @@ class SlabDecomposition:
                 vids = fv[fm, e]
                 vi, vj = vids // My - r0, vids % My
                 di, dj = vi - pi, vj - pj
+                if self.periodic:
+                    # wrap seams: canonicalize to the smallest offset — the
+                    # facet endpoints sit at p + {0, 1} on the torus
+                    di = (di + Mx) % Mx
+                    dj = (dj + My) % My
                 use = vmask > 0
                 if not use.any():
                     # dummy-only family on this slab: offsets come from the
@@ -284,7 +301,10 @@ class SlabDecomposition:
             dhi = ga[7] if ga[7] is not None else gb[7]
             assert dlo is not None and dhi is not None
             merged.append(ga[:6] + (dlo, dhi))
-        dist = (AXIS, self.n_slabs, int(Mx), int(My), nxl + 1, tuple(merged))
+        dist = (
+            AXIS, self.n_slabs, int(Mx), int(My), nxl + 1, tuple(merged),
+            self.periodic,
+        )
         dtype = np.asarray(pc.trace_nodes).dtype
         small = jnp.zeros((1, 1), dtype)
         nt = np.asarray(self.disc._cs_host["Sdiag_inv"]).shape[-1]

@@ -155,3 +155,53 @@ def test_driver_n_devices_rejected_for_non_imex(tmp_path, monkeypatch):
                 "--n_devices", "4",
             ]
         )
+
+
+@needs_multidevice
+def test_slab_step_matches_single_device_periodic():
+    """Periodic-mesh slab decomposition: the wrap seams travel through the
+    circular ppermute halos and the extended GTMG vertex canvas; the
+    distributed step must match the single-device step on the double shear
+    layer (reference analogue: MPI runs of --problem shear,
+    /root/reference/src/driver.py:182)."""
+    from incompressibleeulerhdg_tpu.mesh.generators import periodic_square_mesh
+    from incompressibleeulerhdg_tpu.models.problems import DoubleLayerShearFlow
+
+    disc = HDGDiscretisation(periodic_square_mesh(8), 1)
+    dt = 0.05
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, dt)
+    problem = DoubleLayerShearFlow(disc)
+    Q0 = disc.interpolate_velocity(problem.initial_condition()[0])
+    p0 = stepper.shift_pressure(
+        disc.interpolate_pressure(problem.initial_condition()[1])
+    )
+    lam0 = stepper._reconstruct_trace(Q0, p0)
+    s = stepper.nstages
+    sQ = [Q0] + [jnp.zeros_like(Q0)] * (s - 1)
+    sp = [p0] + [jnp.zeros_like(p0)] * (s - 1)
+    sl = [lam0] + [jnp.zeros_like(lam0)] * (s - 1)
+
+    step = jax.jit(stepper._make_step(problem.f_rhs(), with_tracer=False))
+    dummy_q = jnp.zeros_like(sp[0])
+    ref_Q, ref_p, ref_l = sQ, sp, sl
+    for k in range(2):
+        out = step(
+            disc.geom, stepper._proj, stepper._cs, stepper._gtmg,
+            ref_Q, ref_p, ref_l, jnp.asarray(k * dt, disc.dtype), dummy_q, None,
+        )
+        ref_Q, ref_p, ref_l = out[0], out[1], out[2]
+
+    dec = build_slab_decomposition(disc, stepper, n_slabs=4)
+    dstep = make_distributed_step(dec, stepper, problem.f_rhs())
+    dQ, dp, dl = scatter_state(dec, sQ, sp, sl)
+    for k in range(2):
+        dQ, dp, dl, counts = dstep(dQ, dp, dl, jnp.asarray(k * dt, disc.dtype))
+
+    Q_d = dec.gather_cell_field(np.asarray(dQ[0]), np.asarray(ref_Q[0]).shape)
+    p_d = dec.gather_cell_field(np.asarray(dp[0]), np.asarray(ref_p[0]).shape)
+    assert np.abs(Q_d - np.asarray(ref_Q[0])).max() < 1e-10
+    assert np.abs(p_d - np.asarray(ref_p[0])).max() < 1e-10
+    ref_counts = out[4]
+    assert np.array_equal(
+        np.asarray(counts["tentative"]), np.asarray(ref_counts["tentative"])
+    ), (counts["tentative"], ref_counts["tentative"])
