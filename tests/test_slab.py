@@ -205,3 +205,35 @@ def test_slab_step_matches_single_device_periodic():
     assert np.array_equal(
         np.asarray(counts["tentative"]), np.asarray(ref_counts["tentative"])
     ), (counts["tentative"], ref_counts["tentative"])
+
+
+@needs_multidevice
+def test_slab_periodic_collective_audit():
+    """The periodic distributed step also lowers to halos + reductions only:
+    zero all-gathers (the wrap seam rides the circular ppermute entry)."""
+    from incompressibleeulerhdg_tpu.mesh.generators import periodic_square_mesh
+    from incompressibleeulerhdg_tpu.models.problems import DoubleLayerShearFlow
+
+    disc = HDGDiscretisation(periodic_square_mesh(8), 1)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.05)
+    problem = DoubleLayerShearFlow(disc)
+    Q0 = disc.interpolate_velocity(problem.initial_condition()[0])
+    p0 = stepper.shift_pressure(
+        disc.interpolate_pressure(problem.initial_condition()[1])
+    )
+    lam0 = stepper._reconstruct_trace(Q0, p0)
+    s = stepper.nstages
+    sQ = [Q0] + [jnp.zeros_like(Q0)] * (s - 1)
+    sp = [p0] + [jnp.zeros_like(p0)] * (s - 1)
+    sl = [lam0] + [jnp.zeros_like(lam0)] * (s - 1)
+    dec = build_slab_decomposition(disc, stepper, n_slabs=4)
+    dstep = make_distributed_step(dec, stepper, problem.f_rhs())
+    dQ, dp, dl = scatter_state(dec, sQ, sp, sl)
+    hlo = dstep.lower(dQ, dp, dl, jnp.asarray(0.0, disc.dtype)).compile().as_text()
+    counts = {
+        name: len(re.findall(rf"\b{name}\b", hlo))
+        for name in ("all-gather", "all-reduce", "collective-permute", "all-to-all")
+    }
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    assert counts["collective-permute"] > 0, counts
