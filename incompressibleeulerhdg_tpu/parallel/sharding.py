@@ -31,22 +31,26 @@ def make_device_mesh(n_devices=None, devices=None):
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def _spec_for(arr, n_cells, n_facets):
+def _spec_for(arr, n_cells, n_facets, ndev=1):
     if not hasattr(arr, "ndim") or arr.ndim < 1:
         return P()
-    if arr.shape[0] in (n_cells, n_facets):
+    # XLA requires the sharded dim divisible by the device count; leaves
+    # that don't divide (odd facet counts on unstructured meshes) stay
+    # replicated — GSPMD composes sharded and replicated operands freely
+    if arr.shape[0] in (n_cells, n_facets) and arr.shape[0] % ndev == 0:
         return P(AXIS)
     # batch-last operator tables (nu, nu, n_cells/facets)
-    if arr.shape[-1] in (n_cells, n_facets):
+    if arr.shape[-1] in (n_cells, n_facets) and arr.shape[-1] % ndev == 0:
         return P(*([None] * (arr.ndim - 1) + [AXIS]))
     return P()
 
 
 def shard_pytree(tree, mesh, n_cells, n_facets):
     """device_put every leaf with cell/facet sharding on the leading axis."""
+    ndev = mesh.devices.size
 
     def put(leaf):
-        spec = _spec_for(leaf, n_cells, n_facets)
+        spec = _spec_for(leaf, n_cells, n_facets, ndev)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, tree)

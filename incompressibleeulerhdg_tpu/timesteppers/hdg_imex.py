@@ -746,7 +746,8 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             callback(stage_Q[0], stage_p[0], 0.0, q_tracer=q_tracer)
 
         dec = None
-        if self.n_devices > 1:
+        op_args = (self.geom, self._proj, self._cs, self._gtmg)
+        if self.n_devices > 1 and self.disc.mesh.shift_spec is not None:
             from ..parallel import slab as _slab
 
             Q_shape, p_shape = Q0.shape, p0.shape
@@ -757,6 +758,24 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             stage_Q, stage_p, stage_lam = _slab.scatter_state(
                 dec, stage_Q, stage_p, stage_lam
             )
+        elif self.n_devices > 1:
+            # unstructured meshes: GSPMD cell/facet sharding fallback
+            # (parallel/sharding.py) — same step, sharded operands
+            from ..parallel.sharding import (
+                make_device_mesh,
+                shard_discretisation,
+                shard_state,
+            )
+
+            mesh_dev = make_device_mesh(self.n_devices)
+            op_args = shard_discretisation(
+                self.disc, mesh_dev, self._proj, self._cs, self._gtmg
+            )
+            nc, nf = self.geom.n_cells, self.geom.n_facets
+            stage_Q, stage_p, stage_lam = shard_state(
+                (stage_Q, stage_p, stage_lam), mesh_dev, nc, nf
+            )
+            step_fn = self._get_step(f_rhs, q_tracer is not None)
         else:
             step_fn = self._get_step(f_rhs, q_tracer is not None)
         dummy_q = q_tracer if q_tracer is not None else zerop
@@ -770,7 +789,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     )
                 else:
                     stage_Q, stage_p, stage_lam, q_new, counts = step_fn(
-                        self.geom, self._proj, self._cs, self._gtmg,
+                        *op_args,
                         stage_Q, stage_p, stage_lam, tn, dummy_q, cg,
                     )
                     if q_tracer is not None:

@@ -237,3 +237,25 @@ def test_slab_periodic_collective_audit():
     assert counts["all-gather"] == 0, counts
     assert counts["all-to-all"] == 0, counts
     assert counts["collective-permute"] > 0, counts
+
+
+@needs_multidevice
+def test_n_devices_gspmd_fallback_on_disk_mesh():
+    """n_devices > 1 on an unstructured mesh routes to the GSPMD cell/facet
+    sharding fallback and matches the single-device solve."""
+    from incompressibleeulerhdg_tpu.mesh.generators import unit_disk_mesh
+    from incompressibleeulerhdg_tpu.models.problems import KelvinHelmholtz
+
+    def run(n_devices):
+        disc = HDGDiscretisation(unit_disk_mesh(1), 1)
+        stepper = IncompressibleEulerHDGIMEXSSP2_332(
+            disc, 0.05, n_devices=n_devices
+        )
+        problem = KelvinHelmholtz(disc)
+        Q0e, p0e = problem.initial_condition()
+        return stepper.solve(Q0e, p0e, None, problem.f_rhs(), 0.1)
+
+    Q1, p1 = run(1)
+    Q4, p4 = run(4)
+    assert np.abs(np.asarray(Q4) - np.asarray(Q1)).max() < 1e-10
+    assert np.abs(np.asarray(p4) - np.asarray(p1)).max() < 1e-10
