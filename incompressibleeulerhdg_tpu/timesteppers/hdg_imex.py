@@ -676,9 +676,13 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         s = self.nstages
         nt = self.get_timesteps(T_final, warmup)
         if self.n_devices > 1:
-            if q_initial is not None:
+            if q_initial is not None and self.disc.mesh.shift_spec is not None:
+                # the slab step is traced tracer-free; the GSPMD fallback
+                # composes with the tracer stage (sharded cell fields,
+                # replicated CG operators)
                 raise RuntimeError(
-                    "tracer advection is not supported with n_devices > 1"
+                    "tracer advection is not supported with the slab-"
+                    "decomposed n_devices > 1 path"
                 )
             if checkpoint_every or resume:
                 raise RuntimeError(

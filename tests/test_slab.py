@@ -259,3 +259,26 @@ def test_n_devices_gspmd_fallback_on_disk_mesh():
     Q4, p4 = run(4)
     assert np.abs(np.asarray(Q4) - np.asarray(Q1)).max() < 1e-10
     assert np.abs(np.asarray(p4) - np.asarray(p1)).max() < 1e-10
+
+
+@needs_multidevice
+def test_n_devices_gspmd_tracer():
+    """Tracer advection composes with the GSPMD fallback (sharded cell
+    fields, replicated CG projection operators)."""
+    from incompressibleeulerhdg_tpu.mesh.generators import unit_disk_mesh
+    from incompressibleeulerhdg_tpu.models.problems import KelvinHelmholtz
+
+    q0 = lambda x, y: jnp.sin(2.0 * x) * jnp.cos(2.0 * y)
+
+    def run(n_devices):
+        disc = HDGDiscretisation(unit_disk_mesh(1), 1)
+        stepper = IncompressibleEulerHDGIMEXSSP2_332(
+            disc, 0.05, n_devices=n_devices
+        )
+        problem = KelvinHelmholtz(disc)
+        Q0e, p0e = problem.initial_condition()
+        return stepper.solve(Q0e, p0e, q0, problem.f_rhs(), 0.1)
+
+    Q1, p1 = run(1)
+    Q4, p4 = run(4)
+    assert np.abs(np.asarray(Q4) - np.asarray(Q1)).max() < 1e-10
