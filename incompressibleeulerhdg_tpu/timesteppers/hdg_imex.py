@@ -684,10 +684,6 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     "tracer advection is not supported with the slab-"
                     "decomposed n_devices > 1 path"
                 )
-            if checkpoint_every or resume:
-                raise RuntimeError(
-                    "checkpoint/resume is not supported with n_devices > 1"
-                )
             if len(jax.devices()) < self.n_devices:
                 raise RuntimeError(
                     f"n_devices={self.n_devices} but only "
@@ -754,7 +750,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         if self.n_devices > 1 and self.disc.mesh.shift_spec is not None:
             from ..parallel import slab as _slab
 
-            Q_shape, p_shape = Q0.shape, p0.shape
+            Q_shape, p_shape, lam_shape = Q0.shape, p0.shape, lam0.shape
             dec = _slab.build_slab_decomposition(
                 self.disc, self, self.n_devices
             )
@@ -810,14 +806,36 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             if checkpoint_every and (k + 1) % checkpoint_every == 0:
                 from ..utils.checkpoint import save_checkpoint
 
-                save_checkpoint(
-                    checkpoint_path,
-                    {
+                if dec is not None:
+                    # slab path: gather the stacked local stage state to the
+                    # global layout (resume re-scatters; the checkpoint file
+                    # is layout-independent, interchangeable with
+                    # single-device and GSPMD runs)
+                    state_np = {
+                        "stage_Q": [
+                            dec.gather_cell_field(np.asarray(a), Q_shape)
+                            for a in stage_Q
+                        ],
+                        "stage_p": [
+                            dec.gather_cell_field(np.asarray(a), p_shape)
+                            for a in stage_p
+                        ],
+                        "stage_lam": [
+                            dec.gather_facet_field(np.asarray(a), lam_shape)
+                            for a in stage_lam
+                        ],
+                        "q_tracer": None,
+                    }
+                else:
+                    state_np = {
                         "stage_Q": [np.asarray(a) for a in stage_Q],
                         "stage_p": [np.asarray(a) for a in stage_p],
                         "stage_lam": [np.asarray(a) for a in stage_lam],
                         "q_tracer": None if q_tracer is None else np.asarray(q_tracer),
-                    },
+                    }
+                save_checkpoint(
+                    checkpoint_path,
+                    state_np,
                     t=(k + 1) * self._dt,
                     config=ck_config,
                 )

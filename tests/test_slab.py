@@ -282,3 +282,36 @@ def test_n_devices_gspmd_tracer():
     Q1, p1 = run(1)
     Q4, p4 = run(4)
     assert np.abs(np.asarray(Q4) - np.asarray(Q1)).max() < 1e-10
+
+
+@needs_multidevice
+def test_slab_checkpoint_resume_roundtrip(tmp_path):
+    """Checkpoints written by a slab-decomposed run are layout-independent:
+    interrupt a 4-device run, resume single-device (and vice versa), land on
+    the uninterrupted state."""
+    ck = str(tmp_path / "state.npz")
+    disc = HDGDiscretisation(unit_square_mesh(8), 1)
+    problem = TaylorGreen(disc)
+    Q0e, p0e = problem.initial_condition()
+
+    st_full = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    Q_ref, p_ref = st_full.solve(Q0e, p0e, None, problem.f_rhs(), 0.4)
+
+    st_a = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1, n_devices=4)
+    st_a.solve(
+        Q0e, p0e, None, problem.f_rhs(), 0.2, checkpoint_every=2, checkpoint_path=ck
+    )
+    st_b = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1, n_devices=4)
+    Q2, p2 = st_b.solve(
+        Q0e, p0e, None, problem.f_rhs(), 0.4, checkpoint_path=ck, resume=True
+    )
+    # float-associativity noise only (psum reduction order)
+    assert float(jnp.abs(Q2 - Q_ref).max()) < 1e-10
+    assert float(jnp.abs(p2 - p_ref).max()) < 1e-10
+
+    # resume the distributed checkpoint on a single device
+    st_c = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+    Q3, p3 = st_c.solve(
+        Q0e, p0e, None, problem.f_rhs(), 0.4, checkpoint_path=ck, resume=True
+    )
+    assert float(jnp.abs(Q3 - Q_ref).max()) < 1e-10
