@@ -350,7 +350,21 @@ def build_gtmg(disc, cs, cheb_fine=2, cheb_coarse=25, power_iters=25):
     star_pos_j = None
     star_np = None
     coarse_dense_inv_j = None
-    if coarse_kind == "cheb":
+    # the star setup is an O(nv) host loop (sparse patch extraction + dense
+    # inverse per vertex) plus an (Dv nt, Dv nt, nv) device table — gate it
+    # so very large unstructured meshes degrade to the Chebyshev-Jacobi
+    # smoother instead of hitting a multi-minute setup cliff
+    _STAR_MAX_VERTICES = 65536
+    if coarse_kind == "cheb" and nv > _STAR_MAX_VERTICES:
+        import warnings
+
+        warnings.warn(
+            f"GTMG vertex-star smoother disabled: {nv} vertices exceeds "
+            f"the setup gate ({_STAR_MAX_VERTICES}); using Chebyshev-Jacobi "
+            "smoothing (expect higher iteration counts)",
+            RuntimeWarning,
+        )
+    if coarse_kind == "cheb" and nv <= _STAR_MAX_VERTICES:
         import scipy.sparse as _sp
 
         S_cells = S_np  # (nc, 3nt, 3nt) float64 host copy from above

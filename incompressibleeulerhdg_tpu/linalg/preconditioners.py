@@ -876,7 +876,7 @@ def _colored_apply_bl(geom, op, rb, symmetric=False):
     return z
 
 
-def tentative_colored_apply(geom, op, r):
+def tentative_colored_apply(geom, op, r, symmetric=False):
     """Multiplicative colored facet-pair Schwarz sweep.
 
     Block Gauss-Seidel over the conflict-free facet colors (interior facets
@@ -889,4 +889,6 @@ def tentative_colored_apply(geom, op, r):
     averages conflicting patch corrections with weight 1/3).
     """
     _, d1, nc = r.shape
-    return _colored_apply_bl(geom, op, r.reshape(2 * d1, nc)).reshape(2, d1, nc)
+    return _colored_apply_bl(
+        geom, op, r.reshape(2 * d1, nc), symmetric=symmetric
+    ).reshape(2, d1, nc)

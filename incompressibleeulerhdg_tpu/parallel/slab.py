@@ -47,9 +47,7 @@ from ..ops.projection import BDMProjection
 __all__ = [
     "SlabDecomposition",
     "build_slab_decomposition",
-    "make_slab_mesh",
     "scatter_state",
-    "gather_state",
     "make_distributed_step",
 ]
 
@@ -62,9 +60,16 @@ class SlabDecomposition:
     def __init__(self, disc, stepper, n_slabs):
         mesh = disc.mesh
         spec = mesh.shift_spec
-        assert spec is not None, "slab decomposition needs a structured mesh"
+        # user-facing (--n_devices) validation: real errors, not asserts
+        # (asserts vanish under python -O and a truncating nx // n_slabs
+        # would silently drop grid rows)
+        if spec is None:
+            raise RuntimeError("slab decomposition needs a structured mesh")
         nx, ny, periodic = spec[0], spec[1], spec[2]
-        assert nx % n_slabs == 0, f"n_slabs={n_slabs} must divide nx={nx}"
+        if nx % n_slabs != 0:
+            raise RuntimeError(
+                f"n_devices={n_slabs} must divide the grid size nx={nx}"
+            )
         nxl = nx // n_slabs
         self.disc = disc
         self.n_slabs = n_slabs
@@ -307,15 +312,12 @@ class SlabDecomposition:
         )
         dtype = np.asarray(pc.trace_nodes).dtype
         small = jnp.zeros((1, 1), dtype)
-        nt = np.asarray(self.disc._cs_host["Sdiag_inv"]).shape[-1]
-        Sdiag_loc = self._take_facets(
-            np.asarray(self.disc._cs_host["Sdiag_inv"]).transpose(1, 2, 0), d
-        )
-        v = self.facet_valid[d]
-        Sdiag_loc = Sdiag_loc * v + np.eye(nt)[:, :, None] * (1.0 - v)
         return dataclasses.replace(
             pc,
-            Sdiag_inv=jnp.asarray(Sdiag_loc, dtype),
+            # the smoother reads cs.Sdiag_inv (localized in _local_cs);
+            # pc.Sdiag_inv is only consumed by setup-time host eigenvalue
+            # estimates — ship a dummy, not a per-slab copy
+            Sdiag_inv=small,
             facet_verts=jnp.zeros((2, self.nf_loc), jnp.int32),
             K_elem=small,
             cells=jnp.zeros((1, 1), jnp.int32),
@@ -372,22 +374,11 @@ def build_slab_decomposition(disc, stepper, n_slabs):
     return SlabDecomposition(disc, stepper, n_slabs)
 
 
-def make_slab_mesh(n_slabs):
-    return jax.sharding.Mesh(np.asarray(jax.devices()[:n_slabs]), (AXIS,))
-
-
 def scatter_state(dec, stage_Q, stage_p, stage_lam):
     sQ = [dec.scatter_cell_field(Q) for Q in stage_Q]
     sp = [dec.scatter_cell_field(p) for p in stage_p]
     sl = [dec.scatter_facet_field(l) for l in stage_lam]
     return sQ, sp, sl
-
-
-def gather_state(dec, out_Q, out_p, geom_global):
-    nc = geom_global.n_cells
-    Q = dec.gather_cell_field(np.asarray(out_Q), out_Q.shape[1:-1] + (nc,))
-    p = dec.gather_cell_field(np.asarray(out_p), out_p.shape[1:-1] + (nc,))
-    return Q, p
 
 
 def _shard_map(f, mesh, in_specs, out_specs):

@@ -151,19 +151,19 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         if threshold is None:
             threshold = self.COMPOSITE_STEP_CELLS
         composite = self.geom.n_cells > threshold
-        # cache entries remember the forcing callable they were traced for
-        # (NOT its id(): ids of garbage-collected functions get reused,
-        # which would silently serve a stale step to library users)
-        key = (with_tracer, composite)
-        entry = self._step_cache.get(key)
-        if entry is None or entry[0] is not f_rhs_fn:
+        # key on the forcing callable ITSELF (hashed by identity): the dict
+        # holds a strong reference, so ids cannot be recycled by the gc
+        # (the round-2 id() bug), and alternating between two problems on
+        # one stepper keeps both compiled steps instead of evicting
+        key = (with_tracer, composite, f_rhs_fn)
+        step = self._step_cache.get(key)
+        if step is None:
             if composite:
                 step = self._make_step_composite(f_rhs_fn, with_tracer)
             else:
                 step = jax.jit(self._make_step(f_rhs_fn, with_tracer))
-            self._step_cache[key] = (f_rhs_fn, step)
-            return step
-        return entry[1]
+            self._step_cache[key] = step
+        return step
 
     def _phases(self, f_rhs_fn):
         """Shared per-phase numerics consumed by BOTH step compositions.

@@ -38,6 +38,10 @@ from incompressibleeulerhdg_tpu.linalg.tentative import tentative_solve
 nx = int(os.environ.get("BIS_NX", "128"))
 sweeps = int(os.environ.get("BIS_SWEEPS", "1"))
 rtol = float(os.environ.get("BIS_RTOL", "1e-10"))
+# match the production stepper's restart (IEHDG_TENT_RESTART default in
+# hdg_imex.py) — tentative_solve's own default (40) would validate a
+# longer-restart solver than the timestep runs
+restart = int(os.environ.get("IEHDG_TENT_RESTART", "28"))
 dtype = jnp.float32
 
 from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
@@ -57,7 +61,8 @@ b = jax.jit(lambda Q: F.mass_apply(geom, geom.m1, Q))(Q0)
 
 sol = jax.jit(
     lambda s, b, op: tentative_solve(
-        geom, s, b, c, alpha=1.0, upwind=True, rtol=rtol, op=op, sweeps=sweeps
+        geom, s, b, c, alpha=1.0, upwind=True, rtol=rtol, op=op,
+        sweeps=sweeps, restart=restart,
     )
 )
 u, its, rr = sol(star, b, op)

@@ -99,15 +99,17 @@ def main():
         Q0,
         op_f,
     )
+    # symmetric=True is the production config (IEHDG_TENT_SYM default);
+    # the asymmetric sweep is ~half the cost and would flatter both paths
     timeit_scan(
-        "dense colored apply",
-        lambda u, a: P.tentative_colored_apply(geom, a, u),
+        "dense colored apply (sym)",
+        lambda u, a: P.tentative_colored_apply(geom, a, u, symmetric=True),
         Q0,
         op_d,
     )
     timeit_scan(
-        "factored colored apply",
-        lambda u, a: P.tentative_colored_apply(geom, a, u),
+        "factored colored apply (sym)",
+        lambda u, a: P.tentative_colored_apply(geom, a, u, symmetric=True),
         Q0,
         op_f,
     )
