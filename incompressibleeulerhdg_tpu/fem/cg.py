@@ -139,18 +139,29 @@ def cg_gather(space, v):
     return v[..., space.dofmap]
 
 
-def cg_scatter(space, local):
-    """Adjoint gather: accumulate (..., nloc, nc) into (..., n_dofs)."""
+def cg_scatter(space, local, axis_name=None):
+    """Adjoint gather: accumulate (..., nloc, nc) into (..., n_dofs).
+
+    Under a slab-decomposed ``shard_map`` (``axis_name`` set) each device
+    accumulates its own cells' contributions into the REPLICATED global dof
+    vector and a psum resolves the slab-interface dofs — the CG dof vector
+    is small (~19 MB at 512^2 k=3) and stays replicated, exactly like the
+    GTMG coarse canvas (parallel/slab.py)."""
     out = jnp.zeros(local.shape[:-2] + (space.n_dofs,), dtype=local.dtype)
-    return out.at[..., space.dofmap].add(local)
+    out = out.at[..., space.dofmap].add(local)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def cg_mass_matvec(geom, space, v):
     """Consistent CG mass matrix action on (..., n_dofs) vectors."""
+    from ..ops.structured import dist_axis
+
     loc = cg_gather(space, v)  # (..., nloc, nc)
     Mloc = jnp.einsum("q,qi,qj->ij", geom.wq, space.phi_at_q1, space.phi_at_q1)
     out = geom.det_jac * jnp.einsum("ij,...jc->...ic", Mloc, loc)
-    return cg_scatter(space, out)
+    return cg_scatter(space, out, axis_name=dist_axis(geom))
 
 
 def cg_mass_solve(geom, space, b, rtol=1e-12, maxiter=200):
@@ -181,9 +192,11 @@ def cg_project_dg(geom, space, u, rtol=1e-12):
     The reference's ``Function(V_CG).project(u)`` (common.py:121-122).
     Returns (x ([2,] n_dofs), iters).
     """
+    from ..ops.structured import dist_axis
+
     uq = jnp.einsum("qi,...ic->...qc", geom.phi1, u)
     loc = jnp.einsum("c,q,qi,...qc->...ic", geom.det_jac, geom.wq, space.phi_at_q1, uq)
-    b = cg_scatter(space, loc)
+    b = cg_scatter(space, loc, axis_name=dist_axis(geom))
     return cg_mass_solve(geom, space, b, rtol=rtol)
 
 

@@ -172,6 +172,22 @@ class SlabDecomposition:
 
     # ----------------------------------------------------------------------
 
+    def local_cg(self, stepper):
+        """Stacked slab-local tracer CGSpace: the dofmap keeps GLOBAL dof
+        ids restricted to each slab's cells (the CG dof vector stays
+        replicated; slab-interface dofs are psum-assembled, fem/cg.py)."""
+        if getattr(self, "_local_cg_cache", None) is None:
+            space = stepper.tracer_cg_space()
+            dofmap = np.asarray(space.dofmap)  # (nloc, nc) global ids
+            spaces = [
+                dataclasses.replace(
+                    space, dofmap=jnp.asarray(dofmap[:, self.cell_maps[d]])
+                )
+                for d in range(self.n_slabs)
+            ]
+            self._local_cg_cache = jax.device_put(_stack(spaces))
+        return self._local_cg_cache
+
     def _take_facets(self, arr, d, fill=0.0, axis=-1):
         """Local facet values from a global per-facet array (dummy -> fill)."""
         a = np.take(np.asarray(arr), self.facet_maps[d], axis=axis)
@@ -394,45 +410,60 @@ def _shard_map(f, mesh, in_specs, out_specs):
                    check_rep=False)
 
 
-def make_distributed_step(dec, stepper, f_rhs_fn):
+def make_distributed_step(dec, stepper, f_rhs_fn, with_tracer=False):
     """Wrap the (shared-phase) fused IMEX step in a shard_map over slabs.
 
-    Returns step(sQ_stacked, sp_stacked, sl_stacked, tn) ->
-    (sQ, sp, sl, counts); states are stacked (n_slabs, ...) pytrees.
+    Returns step(sQ_stacked, sp_stacked, sl_stacked, tn[, q_stacked]) ->
+    (sQ, sp, sl, [q_new,] counts); states are stacked (n_slabs, ...)
+    pytrees.  With ``with_tracer`` the tracer advects distributed: cell
+    fields are slab-local, the CG-projection dof vector stays replicated
+    (psum-assembled, see fem/cg.py:cg_scatter).
     """
     from jax.sharding import PartitionSpec as P
 
-    step = stepper._make_step(f_rhs_fn, with_tracer=False)
+    step = stepper._make_step(f_rhs_fn, with_tracer=with_tracer)
     mesh = dec.mesh_devices
     s = stepper.nstages
+    cg_stacked = dec.local_cg(stepper) if with_tracer else None
 
-    def body(geom, proj, cs, pc, sQ, sp, sl, tn):
-        sq = jax.tree_util.tree_map(lambda a: a[0], (geom, proj, cs, pc, sQ, sp, sl))
-        geom0, proj0, cs0, pc0, sQ0, sp0, sl0 = sq
-        dummy_q = jnp.zeros_like(sp0[0])
-        out_Q, out_p, out_l, _, counts = step(
+    def body(geom, proj, cs, pc, sQ, sp, sl, tn, q, cg):
+        sq = jax.tree_util.tree_map(
+            lambda a: a[0], (geom, proj, cs, pc, sQ, sp, sl, q, cg)
+        )
+        geom0, proj0, cs0, pc0, sQ0, sp0, sl0, q0, cg0 = sq
+        dummy_q = q0 if with_tracer else jnp.zeros_like(sp0[0])
+        out_Q, out_p, out_l, q_new, counts = step(
             geom0, proj0, cs0, pc0, list(sQ0), list(sp0), list(sl0), tn,
-            dummy_q, None,
+            dummy_q, cg0,
         )
         pack = (tuple(out_Q), tuple(out_p), tuple(out_l))
+        qp = q_new if with_tracer else jnp.zeros((1,), sp0[0].dtype)
         return (
             jax.tree_util.tree_map(lambda a: a[None], pack),
+            qp[None],
             jax.tree_util.tree_map(lambda a: a[None], counts),
         )
 
     sharded = _shard_map(
         body,
         mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS)),
+        in_specs=(P(AXIS),) * 7 + (P(), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
     )
 
     @jax.jit
-    def dstep(sQ, sp, sl, tn):
-        (oQ, op_, ol), counts = sharded(
-            dec.geom, dec.proj, dec.cs, dec.pc, tuple(sQ), tuple(sp), tuple(sl), tn
+    def dstep(sQ, sp, sl, tn, q=None):
+        if with_tracer:
+            qs = q
+        else:
+            qs = jnp.zeros((dec.n_slabs, 1), sp[0].dtype)
+        (oQ, op_, ol), q_new, counts = sharded(
+            dec.geom, dec.proj, dec.cs, dec.pc, tuple(sQ), tuple(sp),
+            tuple(sl), tn, qs, cg_stacked,
         )
         counts = jax.tree_util.tree_map(lambda a: a[0], counts)
+        if with_tracer:
+            return list(oQ), list(op_), list(ol), q_new, counts
         return list(oQ), list(op_), list(ol), counts
 
     return dstep

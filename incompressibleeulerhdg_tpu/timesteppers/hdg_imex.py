@@ -676,14 +676,6 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         s = self.nstages
         nt = self.get_timesteps(T_final, warmup)
         if self.n_devices > 1:
-            if q_initial is not None and self.disc.mesh.shift_spec is not None:
-                # the slab step is traced tracer-free; the GSPMD fallback
-                # composes with the tracer stage (sharded cell fields,
-                # replicated CG operators)
-                raise RuntimeError(
-                    "tracer advection is not supported with the slab-"
-                    "decomposed n_devices > 1 path"
-                )
             if len(jax.devices()) < self.n_devices:
                 raise RuntimeError(
                     f"n_devices={self.n_devices} but only "
@@ -754,10 +746,14 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             dec = _slab.build_slab_decomposition(
                 self.disc, self, self.n_devices
             )
-            dist_step = _slab.make_distributed_step(dec, self, f_rhs)
+            dist_step = _slab.make_distributed_step(
+                dec, self, f_rhs, with_tracer=q_tracer is not None
+            )
             stage_Q, stage_p, stage_lam = _slab.scatter_state(
                 dec, stage_Q, stage_p, stage_lam
             )
+            if q_tracer is not None:
+                q_dist = dec.scatter_cell_field(q_tracer)
         elif self.n_devices > 1:
             # unstructured meshes: GSPMD cell/facet sharding fallback
             # (parallel/sharding.py) — same step, sharded operands
@@ -784,9 +780,15 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             with PerformanceLog("timestep"):
                 tn = jnp.asarray(k * self._dt, dtype=self.disc.dtype)
                 if dec is not None:
-                    stage_Q, stage_p, stage_lam, counts = dist_step(
-                        stage_Q, stage_p, stage_lam, tn
-                    )
+                    if q_tracer is not None:
+                        (stage_Q, stage_p, stage_lam, q_dist,
+                         counts) = dist_step(
+                            stage_Q, stage_p, stage_lam, tn, q_dist
+                        )
+                    else:
+                        stage_Q, stage_p, stage_lam, counts = dist_step(
+                            stage_Q, stage_p, stage_lam, tn
+                        )
                 else:
                     stage_Q, stage_p, stage_lam, q_new, counts = step_fn(
                         *op_args,
@@ -824,7 +826,13 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                             dec.gather_facet_field(np.asarray(a), lam_shape)
                             for a in stage_lam
                         ],
-                        "q_tracer": None,
+                        "q_tracer": (
+                            None
+                            if q_tracer is None
+                            else dec.gather_cell_field(
+                                np.asarray(q_dist), p_shape
+                            )
+                        ),
                     }
                 else:
                     state_np = {
@@ -849,7 +857,15 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                             dec.gather_cell_field(np.asarray(stage_p[0]), p_shape)
                         ),
                         tn + self._dt,
-                        q_tracer=None,
+                        q_tracer=(
+                            None
+                            if q_tracer is None
+                            else jnp.asarray(
+                                dec.gather_cell_field(
+                                    np.asarray(q_dist), p_shape
+                                )
+                            )
+                        ),
                     )
                 else:
                     callback(

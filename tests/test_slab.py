@@ -315,3 +315,37 @@ def test_slab_checkpoint_resume_roundtrip(tmp_path):
         Q0e, p0e, None, problem.f_rhs(), 0.4, checkpoint_path=ck, resume=True
     )
     assert float(jnp.abs(Q3 - Q_ref).max()) < 1e-10
+
+
+@needs_multidevice
+def test_slab_tracer_matches_single_device():
+    """Tracer advection through the slab-decomposed step: cell fields are
+    slab-local, the CG-projection dof vector is replicated (psum-assembled,
+    fem/cg.py); the advected tracer must match the single-device solve."""
+    q0 = lambda x, y: jnp.sin(2 * jnp.pi * x) * jnp.sin(2 * jnp.pi * y)
+
+    def run(n_devices):
+        disc = HDGDiscretisation(unit_square_mesh(8), 1)
+        stepper = IncompressibleEulerHDGIMEXSSP2_332(
+            disc, 0.1, n_devices=n_devices
+        )
+        problem = TaylorGreen(disc)
+        got = {}
+
+        class Grab:
+            def reset(self):
+                pass
+
+            def __call__(self, Q, p, t, q_tracer=None):
+                got["q"] = q_tracer
+
+        stepper.callbacks = [Grab()]
+        Q0e, p0e = problem.initial_condition()
+        Q, p = stepper.solve(Q0e, p0e, q0, problem.f_rhs(), 0.2)
+        return Q, p, got["q"]
+
+    Q1, p1, q1 = run(1)
+    Q4, p4, q4 = run(4)
+    assert np.abs(np.asarray(Q4) - np.asarray(Q1)).max() < 1e-10
+    assert q1 is not None and q4 is not None
+    assert np.abs(np.asarray(q4) - np.asarray(q1)).max() < 1e-10
