@@ -96,8 +96,9 @@ def build_parser():
         "--n_devices",
         type=int,
         default=1,
-        help="slab-decompose the solve over N devices (HDG IMEX on the "
-        "unit-square mesh; the analogue of the reference's mpiexec -n)",
+        help="distribute the solve over N devices (the analogue of the "
+        "reference's mpiexec -n): slab-decomposed shard_map for HDG IMEX "
+        "on structured meshes, GSPMD cell/facet sharding otherwise",
     )
     parser.add_argument(
         "--checkpoint_every",
@@ -173,7 +174,8 @@ def main(argv=None):
                 f"Invalid timestepping method for conforming discretisation: '{args.timestepper}'"
             )
         timestepper = IncompressibleEulerConformingImplicit(
-            disc, args.dt, args.flux, args.use_projection_method, callbacks=callbacks
+            disc, args.dt, args.flux, args.use_projection_method,
+            callbacks=callbacks, n_devices=args.n_devices,
         )
     elif args.discretisation == "dg":
         assert (
@@ -184,7 +186,8 @@ def main(argv=None):
                 f"Invalid timestepping method for DG discretisation: '{args.timestepper}'"
             )
         timestepper = IncompressibleEulerDGImplicit(
-            disc, args.dt, flux=args.flux, callbacks=callbacks
+            disc, args.dt, flux=args.flux, callbacks=callbacks,
+            n_devices=args.n_devices,
         )
     elif args.discretisation == "hdg":
         imex_classes = {
@@ -201,6 +204,7 @@ def main(argv=None):
                 flux=args.flux,
                 use_projection_method=args.use_projection_method,
                 callbacks=callbacks,
+                n_devices=args.n_devices,
             )
         elif args.timestepper in imex_classes:
             timestepper = imex_classes[args.timestepper](
@@ -243,7 +247,7 @@ def main(argv=None):
     print(f"timestepping method = {timestepper.label}")
     print(f"dtype = {args.dtype}")
     if args.n_devices > 1:
-        print(f"slab decomposition over {args.n_devices} devices")
+        print(f"distributed over {args.n_devices} devices")
     print(f"jax devices = {jax.devices()}")
     print()
 
@@ -276,9 +280,6 @@ def main(argv=None):
         q_0 = lambda x, y: jnp.sin(2 * jnp.pi * x) * jnp.sin(2 * jnp.pi * y)
     else:
         q_0 = None
-
-    if args.n_devices > 1 and not hasattr(timestepper, "n_devices"):
-        raise RuntimeError("--n_devices > 1 is supported for the HDG IMEX schemes")
 
     solve_kwargs = {}
     if args.checkpoint_every or args.resume:

@@ -41,6 +41,38 @@ class IncompressibleEuler(ABC):
         self._proj = build_bdm_projection(disc)
         self._cg_space = None
 
+    def shard_ops_and_state(self, state, *extra_ops):
+        """GSPMD-shard ``(geom, *extra_ops)`` and the state pytree when
+        ``self.n_devices > 1``; identity otherwise.
+
+        The n_devices analogue of the reference's transparent ``mpiexec -n``
+        for the non-IMEX schemes (IMEX has the stronger slab-decomposed
+        path, timesteppers/hdg_imex.py): operator pytrees get cell/facet
+        shardings, the same jitted step runs under GSPMD.
+        """
+        n = getattr(self, "n_devices", 1)
+        if n <= 1:
+            return (self.geom, *extra_ops), state
+        import jax
+
+        if len(jax.devices()) < n:
+            raise RuntimeError(
+                f"n_devices={n} but only {len(jax.devices())} jax devices "
+                "are visible"
+            )
+        from ..parallel.sharding import (
+            make_device_mesh,
+            shard_discretisation,
+            shard_state,
+        )
+
+        mesh = make_device_mesh(n)
+        ops = shard_discretisation(self.disc, mesh, *extra_ops)
+        st = shard_state(
+            state, mesh, self.geom.n_cells, self.geom.n_facets
+        )
+        return ops, st
+
     def tracer_cg_space(self):
         """Vector CG(k+1) space for the tracer advecting-velocity projection.
 

@@ -41,13 +41,15 @@ __all__ = ["IncompressibleEulerConformingImplicit"]
 class IncompressibleEulerConformingImplicit(IncompressibleEuler):
     """Conforming implicit scheme (RT1 velocity, DG0 pressure)."""
 
-    def __init__(self, disc, dt, flux="upwind", use_projection_method=True, callbacks=None):
+    def __init__(self, disc, dt, flux="upwind", use_projection_method=True,
+                 callbacks=None, n_devices=1):
         assert disc.degree == 0, "conforming scheme uses degree 0 (RT1 x DG0)"
         super().__init__(disc, dt, label="Conforming Implicit")
         self.flux = flux
         assert self.flux in ["upwind", "centered"]
         self._use_projection_method = use_projection_method
         self.callbacks = [] if callbacks is None else callbacks
+        self.n_devices = n_devices
         self._rt = RT.build_rt_tables(disc)
         self._step = jax.jit(self._make_step())
 
@@ -240,6 +242,7 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
             callback.reset()
             callback(self.velocity_dg(Q), p[None, :], 0.0, q_tracer=q_tracer)
 
+        (geom_s, rt_s), (Q, p) = self.shard_ops_and_state((Q, p), self._rt)
         for k in tqdm.tqdm(range(nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
@@ -248,7 +251,7 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
                         cg_space=self.tracer_cg_space(),
                     )
                 f_dofs = RT.rt_interpolate(self.disc, rt, f_rhs(k * self._dt))
-                Q, p = self._step(self.geom, self._rt, Q, p, f_dofs)
+                Q, p = self._step(geom_s, rt_s, Q, p, f_dofs)
                 jax.block_until_ready(Q)
             for callback in self.callbacks:
                 callback(

@@ -37,12 +37,13 @@ __all__ = ["IncompressibleEulerDGImplicit"]
 class IncompressibleEulerDGImplicit(IncompressibleEuler):
     """Implicit DG scheme (Guzman et al. 2016, section 2.2)."""
 
-    def __init__(self, disc, dt, flux="upwind", callbacks=None):
+    def __init__(self, disc, dt, flux="upwind", callbacks=None, n_devices=1):
         super().__init__(disc, dt, label="DG Implicit")
         assert flux in ["upwind", "centered"]
         self.flux = flux
         self.alpha = 1.0  # penalty parameter (dg_implicit.py:29)
         self.callbacks = [] if callbacks is None else callbacks
+        self.n_devices = n_devices
         self._cs = build_condensed_system(disc, tau=1.0)
         self._gtmg = build_gtmg(disc, self._cs)
         self._step = jax.jit(self._make_step())
@@ -127,6 +128,9 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
         for callback in self.callbacks:
             callback.reset()
             callback(Q, p, 0.0, q_tracer=q_tracer)
+        ops, (Q, p) = self.shard_ops_and_state(
+            (Q, p), self._proj, self._cs, self._gtmg
+        )
         for k in tqdm.tqdm(range(nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
@@ -134,9 +138,7 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
                         self.geom, q_tracer, Q, self._dt, cg_space=self.tracer_cg_space()
                     )
                 f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
-                Q, p = self._step(
-                    self.geom, self._proj, self._cs, self._gtmg, Q, p, f_nodal
-                )
+                Q, p = self._step(*ops, Q, p, f_nodal)
                 jax.block_until_ready(Q)
             for callback in self.callbacks:
                 callback(Q, p, (k + 1) * self._dt, q_tracer=q_tracer)

@@ -54,12 +54,14 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
         flux="upwind",
         use_projection_method=True,
         callbacks=None,
+        n_devices=1,
     ):
         super().__init__(disc, dt, label="HDG Implicit")
         self.flux = flux
         assert self.flux in ["upwind", "centered"]
         self.use_projection_method = use_projection_method
         self.callbacks = [] if callbacks is None else callbacks
+        self.n_devices = n_devices
         # penalty / stabilisation parameters (hdg_implicit.py:41-43)
         self.alpha = 1.0
         self.tau = 1.0
@@ -125,6 +127,9 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
             callback.reset()
             callback(Q, p, 0.0, q_tracer=q_tracer)
 
+        ops, (Q, p) = self.shard_ops_and_state(
+            (Q, p), self._proj, self._cs, self._gtmg
+        )
         for k in tqdm.tqdm(range(nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
@@ -132,9 +137,7 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
                         geom, q_tracer, Q, self._dt, cg_space=self.tracer_cg_space()
                     )
                 f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
-                Q, p, it_tent, it_p = self._step(
-                    self.geom, self._proj, self._cs, self._gtmg, Q, p, f_nodal
-                )
+                Q, p, it_tent, it_p = self._step(*ops, Q, p, f_nodal)
             for callback in self.callbacks:
                 callback(Q, p, (k + 1) * self._dt, q_tracer=q_tracer)
 

@@ -136,25 +136,35 @@ def test_driver_n_devices_cli(tmp_path, monkeypatch, capsys):
         ]
     )
     out = capsys.readouterr().out
-    assert "slab decomposition over 4 devices" in out
+    assert "distributed over 4 devices" in out
     err = float(out.split("velocity error = ")[1].split()[0])
     # single-device value for this config is 1.2242e-3; the distributed
     # solve must agree to reduction-order noise
     assert abs(err - 1.2242e-3) < 1e-6, err
 
 
-def test_driver_n_devices_rejected_for_non_imex(tmp_path, monkeypatch):
-    from incompressibleeulerhdg_tpu.cli.driver import main
+@needs_multidevice
+def test_n_devices_non_imex_gspmd():
+    """The non-IMEX schemes distribute through the GSPMD fallback
+    (shard_ops_and_state in timesteppers/common.py) and match the
+    single-device solve."""
+    from incompressibleeulerhdg_tpu.timesteppers.dg_implicit import (
+        IncompressibleEulerDGImplicit,
+    )
 
-    monkeypatch.chdir(tmp_path)
-    with pytest.raises(RuntimeError, match="n_devices"):
-        main(
-            [
-                "--nx", "4", "--degree", "1", "--dt", "0.1", "--tfinal", "0.2",
-                "--discretisation", "dg", "--timestepper", "implicit",
-                "--n_devices", "4",
-            ]
+    def run(n_devices):
+        disc = HDGDiscretisation(unit_square_mesh(8), 1)
+        stepper = IncompressibleEulerDGImplicit(
+            disc, 0.1, n_devices=n_devices
         )
+        problem = TaylorGreen(disc)
+        Q0e, p0e = problem.initial_condition()
+        return stepper.solve(Q0e, p0e, None, problem.f_rhs(), 0.2)
+
+    Q1, p1 = run(1)
+    Q4, p4 = run(4)
+    assert np.abs(np.asarray(Q4) - np.asarray(Q1)).max() < 1e-10
+    assert np.abs(np.asarray(p4) - np.asarray(p1)).max() < 1e-10
 
 
 @needs_multidevice
