@@ -359,3 +359,27 @@ def test_slab_tracer_matches_single_device():
     assert np.abs(np.asarray(Q4) - np.asarray(Q1)).max() < 1e-10
     assert q1 is not None and q4 is not None
     assert np.abs(np.asarray(q4) - np.asarray(q1)).max() < 1e-10
+
+
+@needs_multidevice
+def test_n_devices_conforming_gspmd():
+    """The conforming RT1xDG0 scheme distributes through the GSPMD fallback
+    (its RT dof state has no cell-sized leading axis and stays replicated;
+    only the operator tables shard) and matches the single-device solve."""
+    from incompressibleeulerhdg_tpu.timesteppers.conforming_implicit import (
+        IncompressibleEulerConformingImplicit,
+    )
+
+    def run(n_devices):
+        disc = HDGDiscretisation(unit_square_mesh(8), 0)
+        stepper = IncompressibleEulerConformingImplicit(
+            disc, 0.1, "upwind", True, n_devices=n_devices
+        )
+        problem = TaylorGreen(disc)
+        Q0e, p0e = problem.initial_condition()
+        return stepper.solve(Q0e, p0e, None, problem.f_rhs(), 0.2)
+
+    Q1, p1 = run(1)
+    Q4, p4 = run(4)
+    assert np.abs(np.asarray(Q4) - np.asarray(Q1)).max() < 1e-10
+    assert np.abs(np.asarray(p4) - np.asarray(p1)).max() < 1e-10
