@@ -42,6 +42,25 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # a dead remote-TPU tunnel makes jax.devices() hang FOREVER inside
+    # make_c_api_client (observed: multi-hour axon outages); convert that
+    # into a fast, diagnosable failure so the bench capture is never a hang
+    import threading
+
+    _backend_ready = threading.Event()
+
+    def _watchdog():
+        if not _backend_ready.wait(300):
+            print(
+                "# bench: JAX backend failed to initialize within 300 s "
+                "(remote TPU tunnel down?) — aborting",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     nx = int(os.environ.get("BENCH_NX", 256))
     degree = int(os.environ.get("BENCH_DEGREE", 2))
     n_steps = int(os.environ.get("BENCH_STEPS", 3))
@@ -64,6 +83,7 @@ def main():
         f"steps={n_steps} devices={jax.devices()}",
         file=sys.stderr,
     )
+    _backend_ready.set()
 
     t0 = time.time()
     disc = HDGDiscretisation(unit_square_mesh(nx), degree, dtype=dtype)
