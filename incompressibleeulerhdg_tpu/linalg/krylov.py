@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["gmres", "fgmres", "cg", "deflate_constant"]
+__all__ = ["gmres", "gmres_right", "fgmres", "cg", "deflate_constant"]
 
 
 def _pdot(a, b, axis_name):
@@ -181,6 +181,123 @@ def gmres(
     )
     relres = res / jnp.maximum(_pnorm(Mb, axis_name), tiny)
     return x, iters, relres
+
+
+def gmres_right(
+    opM,
+    matvec,
+    b,
+    *,
+    x0=None,
+    rtol=1e-12,
+    atol=0.0,
+    restart=30,
+    maxiter=200,
+    axis_name=None,
+):
+    """Right-preconditioned GMRES with a FUSED preconditioner+operator.
+
+    ``opM(v) -> (M v, A M v)`` supplies both the preconditioned direction and
+    its operator image in one application — built for the colored-Schwarz
+    sweep whose incremental residuals yield ``A z`` as a by-product
+    (preconditioners.py:_colored_apply_fused_bl), replacing the
+    (sweep + matvec) pair of the left-preconditioned loop with a single
+    sweep per Arnoldi step.  ``matvec`` (plain ``A``) is used once per
+    restart cycle for the exact starting residual, so incremental-residual
+    rounding cannot accumulate across cycles.
+
+    Solves ``A (M y) = b`` with ``x = M y``; convergence on the TRUE
+    residual ``||b - A x|| <= max(rtol ||b||, atol)`` (the standard
+    right-preconditioned test; the left-preconditioned :func:`gmres` tests
+    ``||M r||`` instead, so iteration counts differ slightly).
+
+    :returns: (x, iters, relres)
+    """
+    n = b.shape[0]
+    m = restart
+    dtype = b.dtype
+    bnorm = _pnorm(b, axis_name)
+    target = jnp.maximum(rtol * bnorm, atol).astype(dtype)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+    def cycle(x):
+        r = b - matvec(x)
+        beta = _pnorm(r, axis_name)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, tiny))
+        R = jnp.zeros((m, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def step(state):
+            V, R, cs, sn, g, j, res = state
+            _, w = opM(V[j])
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h = V @ w
+            if axis_name is not None:
+                h = lax.psum(h, axis_name)
+            h = h * mask
+            w = w - V.T @ h
+            hnext = _pnorm(w, axis_name)
+            V = V.at[j + 1].set(w / jnp.maximum(hnext, tiny))
+            h = h.at[j + 1].set(hnext)
+
+            def rot(i, h):
+                hi = cs[i] * h[i] + sn[i] * h[i + 1]
+                hi1 = -sn[i] * h[i] + cs[i] * h[i + 1]
+                use = i < j
+                h = h.at[i].set(jnp.where(use, hi, h[i]))
+                return h.at[i + 1].set(jnp.where(use, hi1, h[i + 1]))
+
+            h = lax.fori_loop(0, m, rot, h)
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            c_new = jnp.where(denom > tiny, h[j] / jnp.maximum(denom, tiny), 1.0)
+            s_new = jnp.where(denom > tiny, h[j + 1] / jnp.maximum(denom, tiny), 0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            h = h.at[j].set(denom).at[j + 1].set(0.0)
+            R = R.at[:, j].set(h[:m])
+            g = g.at[j + 1].set(-s_new * g[j])
+            g = g.at[j].set(c_new * g[j])
+            return V, R, cs, sn, g, j + 1, jnp.abs(g[j + 1])
+
+        def cond(state):
+            *_, j, res = state
+            return jnp.logical_and(j < m, res > target)
+
+        init = (V, R, cs, sn, g, jnp.int32(0), beta)
+        V, R, cs, sn, g, j_end, res = lax.while_loop(cond, step, init)
+        active = jnp.arange(m) < j_end
+        Rm = jnp.where(
+            jnp.logical_and(active[None, :], active[:, None]),
+            R,
+            jnp.eye(m, dtype=dtype),
+        )
+        gm = jnp.where(active, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+        # x = x0 + M (V^T y): M is a fixed linear operator, so ONE extra
+        # preconditioner application reconstructs the solution (no stored
+        # Z basis as in fgmres)
+        z, _ = opM(V[:m].T @ y)
+        return x + z, res, j_end
+
+    def outer_step(state):
+        x, res_prev, iters, _ = state
+        x, res, j = cycle(x)
+        go = jnp.logical_and(j > 0, res < 0.95 * res_prev)
+        return x, res, iters + j, go.astype(jnp.int32)
+
+    def outer_cond(state):
+        _, res, iters, go = state
+        return jnp.logical_and(res > target, jnp.logical_and(iters < maxiter, go > 0))
+
+    x, res, iters, _ = lax.while_loop(
+        outer_cond,
+        outer_step,
+        (x0, jnp.asarray(jnp.inf, dtype), jnp.int32(0), jnp.int32(1)),
+    )
+    return x, iters, res / jnp.maximum(bnorm, tiny)
 
 
 def fgmres(

@@ -876,6 +876,110 @@ def _colored_apply_bl(geom, op, rb, symmetric=False):
     return z
 
 
+def _color_cov(geom, k):
+    """(nc,) mask of cells whose color-k patch is actually solved.
+
+    Lower cells at the color rect + upper cells at rect+off, restricted to
+    interior facet positions (``geom.fint`` on slab-local layouts; the
+    global structured layouts color interior facets only).  Static data —
+    XLA folds it to a constant inside a jitted sweep.
+    """
+    from ..ops import structured as st
+
+    l, lu, i0, j0, ni, nj, off = geom.shift[4][k]
+    rect = (i0, j0, ni, nj)
+    b0, b1 = geom.fcol_bounds[k], geom.fcol_bounds[k + 1]
+    if geom.fint is not None:
+        fk = geom.fint[b0:b1]
+    else:
+        fk = jnp.ones(b1 - b0, geom.wq.dtype)
+    lo = st.rect_pad(geom, fk, rect)
+    up = st.roll2(geom, lo, (-off[0], -off[1]))
+    return st.grid_join(geom, lo, up)
+
+
+def _cross_offcolor(geom, op, k, dz):
+    """Cross-coupling part of ``A dz`` via facets of colors != k.
+
+    After an EXACT color-k pair solve, this is the only nonzero part of
+    ``A dz`` on the patch cells (the own-cell + within-pair part cancels the
+    residual there by construction) — the incremental-residual identity that
+    lets the multiplicative sweep skip its full inter-color matvecs.
+    """
+    from ..ops import structured as st
+
+    ncol = len(geom.fcol_bounds) - 1
+    lo_dz, up_dz = st.grid_halves(geom, dz)
+    acc_lo = 0.0
+    acc_up = 0.0
+    for j in range(ncol):
+        if j == k:
+            continue
+        l, lu, i0, j0, ni, nj, off = geom.shift[4][j]
+        rect = (i0, j0, ni, nj)
+        b0, b1 = geom.fcol_bounds[j], geom.fcol_bounds[j + 1]
+        z0 = st.rect_flat(lo_dz, rect)  # plus-side (lower-cell) values
+        z1 = st.rect_flat(st.roll2(geom, up_dz, off), rect)  # minus side
+        if op.Sown is not None:
+            y0 = _fact_color_apply(geom, op.Ks01, op.Bp[j], z1, b0)
+            y1 = _fact_color_apply(geom, op.Ks10, op.Cp[j], z0, b0)
+        else:
+            y0 = _bm(op.Bx[:, :, b0:b1], z1)
+            y1 = _bm(op.Cx[:, :, b0:b1], z0)
+        if geom.fint is not None:
+            m = geom.fint[b0:b1][None, :]
+            y0 = y0 * m
+            y1 = y1 * m
+        acc_lo = acc_lo + st.rect_pad(geom, y0, rect)
+        acc_up = acc_up + st.roll2(
+            geom, st.rect_pad(geom, y1, rect), (-off[0], -off[1])
+        )
+    return st.grid_join(geom, acc_lo, acc_up)
+
+
+def _colored_apply_fused_bl(geom, op, vb, symmetric=False, exact_Az=True):
+    """Multiplicative colored sweep returning BOTH ``z = M v`` and ``A z``.
+
+    Mathematically identical to :func:`_colored_apply_bl` + an explicit
+    matvec, but tracks the residual ``r = v - A z`` INCREMENTALLY: because
+    each color's pair solves are exact and each cell has at most one facet
+    per color, the post-patch residual is ``-(off-color cross)(dz)`` on
+    patch cells and ``r - (off-color cross)(dz)`` on uncovered ones — no
+    own-cell table read, no full matvec between colors.  Consumed by the
+    right-preconditioned fused GMRES (linalg/krylov.py:gmres_right) where it
+    replaces the per-iteration (sweep + matvec) pair — the dominant cost of
+    the tentative solves that dominate the 512^2 step (BASELINE.md
+    roofline).
+
+    :arg exact_Az: compute the returned ``A z`` with one explicit matvec
+        (default — still saves the sweep's 4 internal matvecs).  ``False``
+        returns the free ``A z = v - r`` instead: exact in exact arithmetic,
+        but the incremental cancellations amplify f32 patch-factor rounding
+        by cond(pair block) ~ alpha/h (the factored-vs-dense f32 sweeps
+        already differ by ~0.7% at 256^2 for this reason), which perturbs
+        the Arnoldi relation near the f32 tolerance floor.
+
+    Structured meshes only (``geom.shift``); requires every cell to carry an
+    interior facet (no ``fcol_orphans``), which holds on the structured
+    square/periodic layouts (every cell's hypotenuse is interior).
+    """
+    ncol = len(geom.fcol_bounds) - 1
+    order = list(range(ncol))
+    if symmetric:
+        order += list(range(ncol - 2, -1, -1))
+    z = None
+    r = vb
+    for i, k in enumerate(order):
+        dz = _patch_color_structured(geom, op, k, r)
+        z = dz if z is None else z + dz
+        if exact_Az and i == len(order) - 1:
+            return z, _matvec_bl(geom, op, z)
+        r = r * (1.0 - _color_cov(geom, k))[None, :] - _cross_offcolor(
+            geom, op, k, dz
+        )
+    return z, vb - r
+
+
 def tentative_colored_apply(geom, op, r, symmetric=False):
     """Multiplicative colored facet-pair Schwarz sweep.
 

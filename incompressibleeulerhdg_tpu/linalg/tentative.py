@@ -13,16 +13,19 @@ block-SpMV matvec + multiplicative colored facet-pair Schwarz preconditioner
 both built once per stage.  All fields are batch-last (2, d1, nc).
 """
 
+import os
+
 import jax.numpy as jnp
 
 from ..ops.fields import mass_apply
 from ..ops.forms import f_impl_apply
-from .krylov import gmres
+from .krylov import gmres, gmres_right
 from .preconditioners import (
     build_tentative_operator,
     _matvec_bl,
     _patch_apply_bl,
     _colored_apply_bl,
+    _colored_apply_fused_bl,
 )
 
 __all__ = ["tentative_matvec", "tentative_solve"]
@@ -49,6 +52,7 @@ def tentative_solve(
     colored=True,
     sweeps=1,
     symmetric=True,
+    fused=None,
 ):
     """Solve (M - c f_impl) u = rhs.  Returns (u (2, d1, nc), iters, relres).
 
@@ -63,6 +67,10 @@ def tentative_solve(
         by more (the reference's ILU plays this role, hdg_imex.py:224-228)
     :arg restart: GMRES restart length; the full solve should fit inside one
         cycle — restarting loses superlinear convergence
+    :arg fused: override the IEHDG_TENT_FUSED env default (0 = the
+        left-preconditioned sweep+matvec composition, 1 = fused
+        right-preconditioned GMRES with exact A z, 2 = fully fused with the
+        free A z = v - r)
     """
     shape = rhs.shape
     nu = shape[0] * shape[1]
@@ -72,6 +80,46 @@ def tentative_solve(
 
     def matvec(v):
         return _matvec_bl(geom, op, v.reshape(nu, nc)).ravel()
+
+    from ..ops.structured import dist_axis
+
+    # fused right-preconditioned path (structured meshes): the sweep's
+    # incremental residuals skip the full inter-color matvecs, so each
+    # Arnoldi step costs ONE sweep + one matvec (IEHDG_TENT_FUSED=1,
+    # default: exact A z) or just one sweep (=2: the free A z = v - r,
+    # subject to the f32 cancellation noted in the sweep's docstring) —
+    # the dominant per-iteration saving at production sizes (BASELINE.md
+    # roofline).  IEHDG_TENT_FUSED=0 falls back to the left-preconditioned
+    # composition.
+    fused_mode = os.environ.get("IEHDG_TENT_FUSED", "1") if fused is None else str(fused)
+    fused = (
+        colored
+        and geom.fcol_pos is not None
+        and geom.shift is not None
+        and not geom.fcol_orphans
+        and fused_mode in ("1", "2")
+    )
+    if fused:
+        exact_Az = fused_mode == "1"
+
+        def opM(v):
+            vb = v.reshape(nu, nc)
+            z, Az = _colored_apply_fused_bl(
+                geom, op, vb, symmetric=symmetric, exact_Az=exact_Az
+            )
+            for _ in range(sweeps - 1):
+                dz, Adz = _colored_apply_fused_bl(
+                    geom, op, vb - Az, symmetric=symmetric, exact_Az=exact_Az
+                )
+                z = z + dz
+                Az = Az + Adz
+            return z.ravel(), Az.ravel()
+
+        u, iters, relres = gmres_right(
+            opM, matvec, rhs.ravel(), rtol=rtol, restart=restart,
+            maxiter=maxiter, axis_name=dist_axis(geom),
+        )
+        return u.reshape(shape), iters, relres
 
     if colored and geom.fcol_pos is not None:
         def M(v):
@@ -84,8 +132,6 @@ def tentative_solve(
     else:
         def M(v):
             return _patch_apply_bl(geom, op, v.reshape(nu, nc)).ravel()
-
-    from ..ops.structured import dist_axis
 
     u, iters, relres = gmres(
         matvec, rhs.ravel(), M=M, rtol=rtol, restart=restart, maxiter=maxiter,

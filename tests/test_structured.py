@@ -130,6 +130,72 @@ def test_tentative_operator_parity(name, degree):
 
 
 @pytest.mark.parametrize("name", list(MESHES))
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_fused_sweep_matches_sweep_plus_matvec(name, symmetric):
+    """The fused sweep (incremental residuals) must reproduce BOTH the plain
+    multiplicative colored sweep z = M v and the exact operator image A z —
+    the identity behind the right-preconditioned fused GMRES (it rests on
+    the patch solves being exact pair solves; float64 here isolates the
+    algebra from roundoff)."""
+    from incompressibleeulerhdg_tpu.linalg.preconditioners import (
+        _colored_apply_fused_bl,
+        _colored_apply_bl,
+        _matvec_bl,
+    )
+
+    for degree in (1, 2):
+        disc = _disc(name, degree)
+        geom = disc.geom
+        rng = np.random.default_rng(11)
+        Q = jnp.asarray(rng.standard_normal((2, geom.d1, geom.n_cells)))
+        star = star_fields(_unshifted(geom), Q)
+        op = build_tentative_operator(geom, star, 0.01, 1.0, True)
+
+        nu = 2 * geom.d1
+        v = jnp.asarray(rng.standard_normal((nu, geom.n_cells)))
+        z_ref = np.asarray(_colored_apply_bl(geom, op, v, symmetric=symmetric))
+        Az_ref = None
+        for exact in (True, False):
+            z, Az = _colored_apply_fused_bl(
+                geom, op, v, symmetric=symmetric, exact_Az=exact
+            )
+            assert np.allclose(np.asarray(z), z_ref, atol=1e-11)
+            if Az_ref is None:
+                Az_ref = np.asarray(_matvec_bl(geom, op, z))
+            assert np.allclose(np.asarray(Az), Az_ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("name", list(MESHES))
+def test_fused_tentative_solve_matches_unfused(name):
+    """tentative_solve through the fused right-preconditioned GMRES must
+    reach the same solution as the left-preconditioned composition (same
+    operator, same preconditioner — only the loop fusion differs)."""
+    import os as _os
+    from incompressibleeulerhdg_tpu.linalg.tentative import tentative_solve
+    from incompressibleeulerhdg_tpu.ops import fields as F
+
+    disc = _disc(name, 1)
+    geom = disc.geom
+    rng = np.random.default_rng(5)
+    Q = jnp.asarray(rng.standard_normal((2, geom.d1, geom.n_cells)))
+    star = star_fields(geom, Q)
+    rhs = F.mass_apply(geom, geom.m1, jnp.asarray(
+        rng.standard_normal((2, geom.d1, geom.n_cells))
+    ))
+    u_f, it_f, rr_f = tentative_solve(geom, star, rhs, 0.01, rtol=1e-12)
+    _os.environ["IEHDG_TENT_FUSED"] = "0"
+    try:
+        u_l, it_l, rr_l = tentative_solve(geom, star, rhs, 0.01, rtol=1e-12)
+    finally:
+        _os.environ.pop("IEHDG_TENT_FUSED", None)
+    scale = float(jnp.max(jnp.abs(u_l)))
+    assert np.allclose(np.asarray(u_f), np.asarray(u_l), atol=1e-9 * scale)
+    # iteration counts must stay in the same ballpark (the convergence test
+    # differs: true vs preconditioned residual)
+    assert int(it_f) <= int(it_l) + 5
+
+
+@pytest.mark.parametrize("name", list(MESHES))
 def test_condensed_system_parity(name):
     disc = _disc(name, 1)
     geom = disc.geom
