@@ -104,7 +104,7 @@ def build_parser():
         "--checkpoint_every",
         type=int,
         default=0,
-        help="save the solver state every N timesteps (0 = off; HDG IMEX only)",
+        help="save the solver state every N timesteps (0 = off)",
     )
     parser.add_argument(
         "--checkpoint_file",
@@ -283,10 +283,9 @@ def main(argv=None):
 
     solve_kwargs = {}
     if args.checkpoint_every or args.resume:
-        from ..timesteppers.hdg_imex import IncompressibleEulerHDGIMEX
-
-        if not isinstance(timestepper, IncompressibleEulerHDGIMEX):
-            raise RuntimeError("checkpoint/resume is supported for the HDG IMEX schemes")
+        # all scheme families checkpoint/resume: IMEX saves its full stage
+        # state (timesteppers/hdg_imex.py), the others the plain (Q, p,
+        # tracer) state via the base-class helpers (timesteppers/common.py)
         solve_kwargs = dict(
             checkpoint_every=args.checkpoint_every,
             checkpoint_path=args.checkpoint_file,

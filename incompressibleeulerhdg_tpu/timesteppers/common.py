@@ -109,6 +109,57 @@ class IncompressibleEuler(ABC):
         """Shift pressure to zero mean."""
         return p - self.pressure_mean(p)
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume of plain (Q, p, tracer) state — shared by the
+    # non-IMEX schemes (IMEX checkpoints its full stage state instead,
+    # timesteppers/hdg_imex.py).  Exceeds reference parity: the reference
+    # has no checkpointing at all (SURVEY.md section 5.4).
+    # ------------------------------------------------------------------
+
+    def _checkpoint_config(self):
+        """Run-defining config validated on resume (mesh/scheme/dt guard)."""
+        return {
+            "scheme": type(self).__name__,
+            "n_cells": int(self.geom.n_cells),
+            "degree": int(self.degree),
+            "dt": float(self._dt),
+        }
+
+    def save_state(self, checkpoint_path, k, Q, p, q_tracer=None):
+        """Atomically save the plain solver state after step ``k``."""
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_path,
+            {
+                "Q": np.asarray(Q),
+                "p": np.asarray(p),
+                "q_tracer": None if q_tracer is None else np.asarray(q_tracer),
+            },
+            t=k * self._dt,
+            config=self._checkpoint_config(),
+        )
+
+    def resume_state(self, checkpoint_path, q_tracer=None):
+        """Load ``(Q, p, q_tracer, k_start)`` saved by :meth:`save_state`.
+
+        The stored config must match this run's mesh/scheme/dt; the stored
+        tracer is used only when this run carries one too.
+        """
+        from ..utils.checkpoint import load_checkpoint
+
+        state, t_ck, _ = load_checkpoint(
+            checkpoint_path, expect_config=self._checkpoint_config()
+        )
+        dtype = self.disc.dtype
+        Q = jnp.asarray(state["Q"], dtype)
+        p = jnp.asarray(state["p"], dtype)
+        if state.get("q_tracer") is not None and q_tracer is not None:
+            q_tracer = jnp.asarray(state["q_tracer"], dtype)
+        k_start = int(round(t_ck / self._dt))
+        print(f"resumed from {checkpoint_path} at t = {t_ck} (step {k_start})")
+        return Q, p, q_tracer, k_start
+
     def velocity_error_norm(self, Q, Q_exact):
         """L2 norm of the velocity error (driver.py:376-379 analogue)."""
         return float(jnp.sqrt(F.l2_norm_sq(self.geom, self.geom.phi1, Q - Q_exact)))

@@ -222,7 +222,18 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
 
     # ------------------------------------------------------------------
 
-    def solve(self, Q_initial, p_initial, q_initial, f_rhs, T_final, warmup=False):
+    def solve(
+        self,
+        Q_initial,
+        p_initial,
+        q_initial,
+        f_rhs,
+        T_final,
+        warmup=False,
+        checkpoint_every=0,
+        checkpoint_path="checkpoint.npz",
+        resume=False,
+    ):
         """Timestepping loop (conforming_implicit.py:127-190)."""
         geom = self.geom
         rt = self._rt
@@ -237,13 +248,19 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
         q_tracer = (
             self.disc.interpolate_pressure(q_initial) if q_initial is not None else None
         )
+        k_start = 0
+        if resume:
+            # checkpointed state is the RT dof vector + DG0 pressure
+            Q, p, q_tracer, k_start = self.resume_state(checkpoint_path, q_tracer)
 
         for callback in self.callbacks:
             callback.reset()
-            callback(self.velocity_dg(Q), p[None, :], 0.0, q_tracer=q_tracer)
+            callback(
+                self.velocity_dg(Q), p[None, :], k_start * self._dt, q_tracer=q_tracer
+            )
 
         (geom_s, rt_s), (Q, p) = self.shard_ops_and_state((Q, p), self._rt)
-        for k in tqdm.tqdm(range(nt)):
+        for k in tqdm.tqdm(range(k_start, nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
                     q_tracer = tracer_step(
@@ -253,6 +270,8 @@ class IncompressibleEulerConformingImplicit(IncompressibleEuler):
                 f_dofs = RT.rt_interpolate(self.disc, rt, f_rhs(k * self._dt))
                 Q, p = self._step(geom_s, rt_s, Q, p, f_dofs)
                 jax.block_until_ready(Q)
+            if checkpoint_every and (k + 1) % checkpoint_every == 0:
+                self.save_state(checkpoint_path, k + 1, Q, p, q_tracer)
             for callback in self.callbacks:
                 callback(
                     self.velocity_dg(Q), p[None, :], (k + 1) * self._dt, q_tracer=q_tracer

@@ -117,7 +117,18 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
 
         return step
 
-    def solve(self, Q_initial, p_initial, q_initial, f_rhs, T_final, warmup=False):
+    def solve(
+        self,
+        Q_initial,
+        p_initial,
+        q_initial,
+        f_rhs,
+        T_final,
+        warmup=False,
+        checkpoint_every=0,
+        checkpoint_path="checkpoint.npz",
+        resume=False,
+    ):
         """Timestepping loop (dg_implicit.py:84-136)."""
         nt = self.get_timesteps(T_final, warmup)
         Q = self.disc.interpolate_velocity(Q_initial)
@@ -125,13 +136,16 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
         q_tracer = (
             self.disc.interpolate_pressure(q_initial) if q_initial is not None else None
         )
+        k_start = 0
+        if resume:
+            Q, p, q_tracer, k_start = self.resume_state(checkpoint_path, q_tracer)
         for callback in self.callbacks:
             callback.reset()
-            callback(Q, p, 0.0, q_tracer=q_tracer)
+            callback(Q, p, k_start * self._dt, q_tracer=q_tracer)
         ops, (Q, p) = self.shard_ops_and_state(
             (Q, p), self._proj, self._cs, self._gtmg
         )
-        for k in tqdm.tqdm(range(nt)):
+        for k in tqdm.tqdm(range(k_start, nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
                     q_tracer = tracer_step(
@@ -140,6 +154,8 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
                 f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
                 Q, p = self._step(*ops, Q, p, f_nodal)
                 jax.block_until_ready(Q)
+            if checkpoint_every and (k + 1) % checkpoint_every == 0:
+                self.save_state(checkpoint_path, k + 1, Q, p, q_tracer)
             for callback in self.callbacks:
                 callback(Q, p, (k + 1) * self._dt, q_tracer=q_tracer)
         return Q, p

