@@ -2,18 +2,29 @@
 
 Runs the flagship configuration — HDG IMEX SSP2(3,3,2), Richardson + projection
 preconditioner, Taylor-Green vortex — on a 256^2 unit-square mesh at degree
-k=2 in float32 (the TPU fast path), and prints ONE JSON line:
+k=2 in float32 (the TPU fast path), then again at the north-star 512^2 scale,
+and prints ONE JSON line:
 
-    {"metric": ..., "value": ..., "unit": "s/timestep", "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": "s/timestep", "vs_baseline": ...,
+     "error_velocity": ..., "finite": true, "setup_s": ..., "warmup_s": ...,
+     "secondary": {"nx": 512, ...}}
+
+Every reported number is VALIDATED the way the reference validates its runs
+(it always prints the L2 error against the analytic Taylor-Green solution,
+/root/reference/src/driver.py:371-381): after the timed steps the final state
+is checked for finiteness and the velocity L2 error vs the analytic decaying
+vortex is computed.  A non-finite state or an error above the sanity bound
+exits non-zero — a diverged solve can NOT produce a "vs_baseline" number.
 
 vs_baseline is the speedup factor over the reference Firedrake/PETSc CPU
 implementation.  The reference publishes no numbers and Firedrake is not
 installable in this image (BASELINE.md), so the baseline is an *estimate*,
 documented in BASELINE.md: 60 s per implicit timestep for this configuration
-(10 Krylov solves/step on ~600k trace dofs + assembly, single CPU socket).
+(10 Krylov solves/step on ~600k trace dofs + assembly, single CPU socket),
+bracketed by the measured mesh-independent CPU anchor (tools/cpu_baseline.py).
 
 Environment knobs: BENCH_NX (default 256), BENCH_DEGREE (2), BENCH_STEPS (3),
-BENCH_DTYPE (float32).
+BENCH_DTYPE (float32), BENCH_SECONDARY_NX (512; 0 disables the second run).
 """
 
 import json
@@ -27,6 +38,122 @@ import numpy as np
 # BASELINE.md); scaled by cell count for other mesh sizes (the reference's
 # per-step work is at least linear in cells)
 REFERENCE_BASELINE_SECONDS_256 = 60.0
+
+# sanity bound on the velocity L2 error vs the analytic solution after the
+# few benchmark steps (measured: ~2e-6 at 256^2/512^2 k=2 f32; the bound is
+# loose enough for dtype/step-count variations, tight enough that a diverged
+# or garbage solve cannot pass)
+ERROR_VELOCITY_MAX = 1.0e-3
+
+
+def run_config(nx, degree, n_steps, dtype):
+    """Run the flagship IMEX configuration; return a dict of validated
+    measurements (per-step wall clock, setup/warmup split, iteration counts,
+    finiteness, velocity L2 error vs the analytic solution)."""
+    import jax
+    import jax.numpy as jnp
+
+    from incompressibleeulerhdg_tpu.mesh.generators import unit_square_mesh
+    from incompressibleeulerhdg_tpu.fem.discretisation import HDGDiscretisation
+    from incompressibleeulerhdg_tpu.models.problems import TaylorGreen
+    from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
+        IncompressibleEulerHDGIMEXSSP2_332,
+    )
+
+    dt = 1.0 / nx  # CFL-reasonable timestep for the decaying vortex
+    print(
+        f"# bench: nx={nx} degree={degree} "
+        f"dtype={np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype).name} "
+        f"steps={n_steps} devices={jax.devices()}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    t0 = time.time()
+    disc = HDGDiscretisation(unit_square_mesh(nx), degree, dtype=dtype)
+    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, dt)
+    problem = TaylorGreen(disc)
+    setup_s = time.time() - t0
+    print(f"# setup: {setup_s:.1f}s", file=sys.stderr, flush=True)
+
+    @jax.jit
+    def _init():
+        Q0 = disc.interpolate_velocity(problem.initial_condition()[0])
+        p0 = stepper.shift_pressure(
+            disc.interpolate_pressure(problem.initial_condition()[1])
+        )
+        lam0 = stepper._reconstruct_trace(Q0, p0)
+        return Q0, p0, lam0
+
+    Q0, p0, lam0 = _init()
+    s = stepper.nstages
+    sQ = [Q0] + [jnp.zeros_like(Q0)] * (s - 1)
+    sp = [p0] + [jnp.zeros_like(p0)] * (s - 1)
+    sl = [lam0] + [jnp.zeros_like(lam0)] * (s - 1)
+    dummy_q = jnp.zeros_like(p0)
+
+    step = stepper._get_step(problem.f_rhs(), False)
+
+    op_args = (disc.geom, stepper._proj, stepper._cs, stepper._gtmg)
+
+    # warm-up: compile + one step
+    t0 = time.time()
+    out = step(*op_args, sQ, sp, sl, jnp.asarray(0.0, dtype=dtype), dummy_q, None)
+    jax.block_until_ready(out)
+    warmup_s = time.time() - t0
+    print(f"# warmup (compile + 1 step): {warmup_s:.1f}s", file=sys.stderr, flush=True)
+    sQ, sp, sl = out[0], out[1], out[2]
+
+    t0 = time.time()
+    for k in range(n_steps):
+        out = step(
+            *op_args, sQ, sp, sl, jnp.asarray((k + 1) * dt, dtype=dtype), dummy_q, None
+        )
+        sQ, sp, sl = out[0], out[1], out[2]
+        # synchronise every step: queueing a second step while one is in
+        # flight doubles the live workspace (device fault at 512^2), and
+        # async dispatch makes per-step timing unreliable anyway
+        jax.block_until_ready(sQ[0])
+    per_step = (time.time() - t0) / n_steps
+
+    counts = out[4]
+    tent = np.asarray(counts["tentative"])
+    pres = np.asarray(counts["pressure"])
+    print(
+        f"# iters: tentative={tent} pressure={pres} "
+        f"final={int(counts['final_pressure'])} recon={int(counts['reconstruction'])}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    # --- validation: the reference always reports the L2 error against the
+    # analytic solution (driver.py:371-381); a benchmark number without it is
+    # unverified (round-3 verdict: bench.py printed 413x on a NaN state) ----
+    Q = sQ[0]
+    finite = bool(jnp.isfinite(Q).all()) and bool(jnp.isfinite(sp[0]).all())
+    t_final = (1 + n_steps) * dt  # warmup step + timed steps
+    Q_exact, _ = problem.solution(t_final)
+    err_vel = float(stepper.velocity_error_norm(Q, Q_exact))
+    # krylov iteration sanity: a diverged/stalled run shows 0-iteration solves
+    iters_sane = bool((tent > 0).all()) and bool((pres > 0).all())
+    print(
+        f"# validate: finite={finite} err_vel={err_vel:.3e} iters_sane={iters_sane}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    return {
+        "nx": nx,
+        "value": per_step,
+        "setup_s": round(setup_s, 1),
+        "warmup_s": round(warmup_s, 1),
+        "error_velocity": err_vel,
+        "finite": finite,
+        "iters_sane": iters_sane,
+        "iters_tentative": tent.tolist(),
+        "iters_pressure": pres.tolist(),
+        "ok": finite and iters_sane and err_vel < ERROR_VELOCITY_MAX,
+    }
 
 
 def main():
@@ -64,89 +191,53 @@ def main():
     nx = int(os.environ.get("BENCH_NX", 256))
     degree = int(os.environ.get("BENCH_DEGREE", 2))
     n_steps = int(os.environ.get("BENCH_STEPS", 3))
+    sec_nx = int(os.environ.get("BENCH_SECONDARY_NX", 512))
     dtype = (
         jnp.float64 if os.environ.get("BENCH_DTYPE", "float32") == "float64" else jnp.float32
     )
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
 
-    from incompressibleeulerhdg_tpu.mesh.generators import unit_square_mesh
-    from incompressibleeulerhdg_tpu.fem.discretisation import HDGDiscretisation
-    from incompressibleeulerhdg_tpu.models.problems import TaylorGreen
-    from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
-        IncompressibleEulerHDGIMEXSSP2_332,
-    )
-
-    dt = 1.0 / nx  # CFL-reasonable timestep for the decaying vortex
-    print(
-        f"# bench: nx={nx} degree={degree} dtype={np.dtype(dtype.dtype if hasattr(dtype,'dtype') else dtype).name} "
-        f"steps={n_steps} devices={jax.devices()}",
-        file=sys.stderr,
-    )
+    jax.devices()  # force backend init under the watchdog
     _backend_ready.set()
 
-    t0 = time.time()
-    disc = HDGDiscretisation(unit_square_mesh(nx), degree, dtype=dtype)
-    stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, dt)
-    problem = TaylorGreen(disc)
-    print(f"# setup: {time.time()-t0:.1f}s", file=sys.stderr)
+    res = run_config(nx, degree, n_steps, dtype)
 
-    @jax.jit
-    def _init():
-        Q0 = disc.interpolate_velocity(problem.initial_condition()[0])
-        p0 = stepper.shift_pressure(
-            disc.interpolate_pressure(problem.initial_condition()[1])
-        )
-        lam0 = stepper._reconstruct_trace(Q0, p0)
-        return Q0, p0, lam0
-
-    Q0, p0, lam0 = _init()
-    s = stepper.nstages
-    sQ = [Q0] + [jnp.zeros_like(Q0)] * (s - 1)
-    sp = [p0] + [jnp.zeros_like(p0)] * (s - 1)
-    sl = [lam0] + [jnp.zeros_like(lam0)] * (s - 1)
-    dummy_q = jnp.zeros_like(p0)
-
-    step = stepper._get_step(problem.f_rhs(), False)
-
-    op_args = (disc.geom, stepper._proj, stepper._cs, stepper._gtmg)
-
-    # warm-up: compile + one step
-    t0 = time.time()
-    out = step(*op_args, sQ, sp, sl, jnp.asarray(0.0, dtype=dtype), dummy_q, None)
-    jax.block_until_ready(out)
-    print(f"# warmup (compile + 1 step): {time.time()-t0:.1f}s", file=sys.stderr)
-    sQ, sp, sl = out[0], out[1], out[2]
-
-    t0 = time.time()
-    for k in range(n_steps):
-        out = step(*op_args, sQ, sp, sl, jnp.asarray((k + 1) * dt, dtype=dtype), dummy_q, None)
-        sQ, sp, sl = out[0], out[1], out[2]
-        # synchronise every step: queueing a second step while one is in
-        # flight doubles the live workspace (device fault at 512^2), and
-        # async dispatch makes per-step timing unreliable anyway
-        jax.block_until_ready(sQ[0])
-    per_step = (time.time() - t0) / n_steps
-
-    counts = out[4]
-    print(
-        f"# iters: tentative={np.asarray(counts['tentative'])} "
-        f"pressure={np.asarray(counts['pressure'])} final={int(counts['final_pressure'])} "
-        f"recon={int(counts['reconstruction'])}",
-        file=sys.stderr,
-    )
+    # north-star scale (BASELINE.json targets 512^2): captured in the same
+    # artifact so a 512^2-only regression can never again hide behind a green
+    # 256^2 headline (round-3 verdict, weak #3)
+    secondary = None
+    if sec_nx and sec_nx != nx:
+        try:
+            secondary = run_config(sec_nx, degree, n_steps, dtype)
+            secondary["vs_baseline"] = (
+                REFERENCE_BASELINE_SECONDS_256 * (sec_nx / 256.0) ** 2
+            ) / secondary["value"]
+        except Exception as e:  # noqa: BLE001 — report, then fail via ok flag
+            print(f"# secondary {sec_nx}^2 run FAILED: {e}", file=sys.stderr, flush=True)
+            secondary = {"nx": sec_nx, "ok": False, "error": str(e)[:300]}
 
     baseline = REFERENCE_BASELINE_SECONDS_256 * (nx / 256.0) ** 2
-    print(
-        json.dumps(
-            {
-                "metric": f"wall-clock per HDG IMEX SSP2 timestep, {nx}x{nx} mesh, k={degree}",
-                "value": per_step,
-                "unit": "s/timestep",
-                "vs_baseline": baseline / per_step,
-            }
-        )
-    )
+    out = {
+        "metric": f"wall-clock per HDG IMEX SSP2 timestep, {nx}x{nx} mesh, k={degree}",
+        "value": res["value"],
+        "unit": "s/timestep",
+        "vs_baseline": baseline / res["value"],
+        **{k: v for k, v in res.items() if k not in ("value", "nx")},
+    }
+    if secondary is not None:
+        out["secondary"] = secondary
+
+    ok = res["ok"] and (secondary is None or secondary.get("ok", False))
+    if not ok:
+        # a diverged run must not report a speedup anywhere
+        out.pop("vs_baseline", None)
+        out["ok"] = False
+        print(json.dumps(out))
+        print("# bench: VALIDATION FAILED (non-finite state, zero-iteration "
+              "solves, or error above bound)", file=sys.stderr, flush=True)
+        sys.exit(4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -91,6 +91,10 @@ def test_slab_step_matches_single_device():
         - np.asarray(ref_counts["tentative"], dtype=np.int64)
     )
     assert diff.max() <= 1, (counts["tentative"], ref_counts["tentative"])
+    # ... and only ISOLATED boundary flips: a uniform +1 shift across all
+    # solves would indicate a stopping-criterion regression, not reduction
+    # order (ADVICE round 3)
+    assert diff.sum() <= 2, (counts["tentative"], ref_counts["tentative"])
 
 
 @needs_multidevice
@@ -220,9 +224,16 @@ def test_slab_step_matches_single_device_periodic():
     assert np.abs(Q_d - np.asarray(ref_Q[0])).max() < 1e-10
     assert np.abs(p_d - np.asarray(ref_p[0])).max() < 1e-10
     ref_counts = out[4]
-    assert np.array_equal(
-        np.asarray(counts["tentative"]), np.asarray(ref_counts["tentative"])
-    ), (counts["tentative"], ref_counts["tentative"])
+    # same ±1-per-solve tolerance as the non-periodic test above: the psum
+    # reduction order differs from the local dot order, and a solve whose
+    # residual sits exactly at rtol can flip by one Arnoldi step (ADVICE
+    # round 3 — exact equality here was intermittently flaky)
+    diff = np.abs(
+        np.asarray(counts["tentative"], dtype=np.int64)
+        - np.asarray(ref_counts["tentative"], dtype=np.int64)
+    )
+    assert diff.max() <= 1, (counts["tentative"], ref_counts["tentative"])
+    assert diff.sum() <= 2, (counts["tentative"], ref_counts["tentative"])
 
 
 @needs_multidevice
