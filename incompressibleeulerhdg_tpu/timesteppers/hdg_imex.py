@@ -500,11 +500,22 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         aexp = jnp.asarray(tab.a_expl.tolist(), dtype=self.disc.dtype)
         out_dtype = self.disc.dtype
         n_rich = self.n_richardson
-        if not self.use_projection_method:
-            raise NotImplementedError(
-                "the monolithic branch above the composite-step size threshold "
-                "is not supported; use the projection method (driver default)"
+        projection = self.use_projection_method
+        if not projection:
+            # host-composed coupled solve: jitted phases + host FGMRES, so
+            # the large-mesh monolithic path exists like the reference's
+            # any-size MUMPS solves (hdg_imex.py:613-618); see
+            # linalg/monolithic.py for the memory argument
+            from ..linalg.monolithic import (
+                build_monolithic_phases,
+                host_fgmres,
+                _unflat3,
             )
+
+            mono_mv, mono_pc, mono_rhs = build_monolithic_phases(
+                self.alpha_penalty, self.flux == "upwind", self.tau
+            )
+            j_unflat = jax.jit(_unflat3, static_argnums=(1,))
 
         j_forcing = jax.jit(ph.forcing)
         j_star_build = jax.jit(ph.star_build)
@@ -544,7 +555,8 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 nonlocal t_phase
                 if phase_timing:
                     for leaf in jax.tree_util.tree_leaves(out):
-                        leaf.block_until_ready()
+                        if hasattr(leaf, "block_until_ready"):
+                            leaf.block_until_ready()
                     now = _time.perf_counter()
                     PerformanceLog.data[label].append(now - t_phase)
                     t_phase = now
@@ -568,14 +580,34 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     "residual", j_residual(geom, tuple(stage_Q), b_all, alpha[i], beta[i])
                 )
                 Q_i, p_i, lam_i = stage_Q[i], stage_p[i], stage_lam[i]
-                for _ in range(n_rich):
-                    Q_i, p_i, lam_i, n_t, n_p, rr = mark(
-                        "sweep",
-                        j_sweep(geom, cs, pc, star, op, r_i, Q_i, p_i, lam_i, c),
+                if projection:
+                    for _ in range(n_rich):
+                        Q_i, p_i, lam_i, n_t, n_p, rr = mark(
+                            "sweep",
+                            j_sweep(geom, cs, pc, star, op, r_i, Q_i, p_i, lam_i, c),
+                        )
+                        its_tent.append(n_t)
+                        its_p.append(n_p)
+                        relres.append(rr)
+                else:
+                    b_flat, x0_flat = mono_rhs(geom, cs, r_i, Q_i, p_i, lam_i)
+                    x, n_m, rr_m = mark(
+                        "monolithic",
+                        host_fgmres(
+                            lambda v: mono_mv(geom, cs, op, c, v),
+                            lambda v: mono_pc(geom, cs, pc, star, op, c, v),
+                            b_flat,
+                            x0_flat,
+                            rtol=10 * self.rtol_pressure,
+                            restart=20,
+                            maxiter=100,
+                        ),
                     )
-                    its_tent.append(n_t)
-                    its_p.append(n_p)
-                    relres.append(rr)
+                    Q_i, p_i, lam_i = j_unflat(geom, cs.nt, x)
+                    n_m = jnp.asarray(n_m, jnp.int32)
+                    its_tent.append(n_m)
+                    its_p.append(n_m)
+                    relres.append(jnp.asarray(rr_m, out_dtype))
                 del op, star
                 p_i, lam_i = j_shift(geom, p_i, lam_i)
                 stage_Q[i], stage_p[i], stage_lam[i] = Q_i, p_i, lam_i

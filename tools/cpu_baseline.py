@@ -37,7 +37,7 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 
-def build_matrices(nx, degree=2):
+def build_matrices(nx, degree=2, with_gtmg=False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -106,12 +106,42 @@ def build_matrices(nx, degree=2):
         (S.ravel(), (ri.ravel(), ci.ravel())), shape=(nf * nt, nf * nt)
     ).tocsc()
 
-    return A_t, S_g
+    gtmg_M = None
+    t_gtmg = 0.0
+    if with_gtmg:
+        # mesh-independent trace preconditioner: the same two-level GTMG
+        # composition the reference's PETSc stack applies (GTMGPC +
+        # Chebyshev smoothing + coarse P1 solve, hdg_imex.py:128-170),
+        # executed with this repo's verified V-cycle on the CPU backend.
+        # scipy's ILU degrades superlinearly under refinement (85 -> 816 ->
+        # 2355 its, BASELINE.md) and makes the anchor unfairly slow; the
+        # GTMG anchor is the defensible measured stand-in (VERDICT round 3,
+        # next-round item 6).  Layout: scipy's facet-major dof = f*nt + i
+        # <-> the repo's trace-major (nt, nf) field via reshape+transpose.
+        from incompressibleeulerhdg_tpu.linalg.gtmg import build_gtmg, gtmg_apply
+
+        t0 = time.perf_counter()
+        pc = build_gtmg(disc, cs)
+        vcycle = jax.jit(lambda v: gtmg_apply(geom, cs, pc, v))
+        # warm the compile outside the timed solve
+        np.asarray(vcycle(jnp.zeros(nt * nf)))
+        t_gtmg = time.perf_counter() - t0
+
+        def gtmg_M(v):
+            lam = jnp.asarray(v.reshape(nf, nt).T.ravel())
+            z = np.asarray(vcycle(lam))
+            return z.reshape(nt, nf).T.ravel()
+
+    return A_t, S_g, gtmg_M, t_gtmg
 
 
-def time_solve(A, rtol, label, maxiter=200, fill_factor=10.0, deflate=False):
-    """ILU-preconditioned GMRES on a seeded random RHS; returns (setup time
+def time_solve(A, rtol, label, maxiter=200, fill_factor=10.0, deflate=False,
+               M_apply=None, t_setup=0.0):
+    """Preconditioned GMRES on a seeded random RHS; returns (setup time
     once, per-solve time, iterations).
+
+    Default preconditioner: ILU.  ``M_apply`` (a dense-vector callable)
+    overrides it — used for the mesh-independent GTMG trace anchor.
 
     ``deflate=True`` projects out the constant nullspace (the trace system
     is singular exactly as the reference's pressure system is — PETSc
@@ -127,11 +157,15 @@ def time_solve(A, rtol, label, maxiter=200, fill_factor=10.0, deflate=False):
         return v - ones * (ones @ v) if deflate else v
 
     b = proj(b)
-    t0 = time.perf_counter()
-    A_f = A + 1e-8 * sp.identity(n, format="csc") if deflate else A
-    ilu = spla.spilu(A_f, drop_tol=1e-5, fill_factor=fill_factor)
-    t_fact = time.perf_counter() - t0
-    M = spla.LinearOperator(A.shape, lambda v: proj(ilu.solve(proj(v))))
+    if M_apply is not None:
+        t_fact = t_setup
+        M = spla.LinearOperator(A.shape, lambda v: proj(M_apply(proj(v))))
+    else:
+        t0 = time.perf_counter()
+        A_f = A + 1e-8 * sp.identity(n, format="csc") if deflate else A
+        ilu = spla.spilu(A_f, drop_tol=1e-5, fill_factor=fill_factor)
+        t_fact = time.perf_counter() - t0
+        M = spla.LinearOperator(A.shape, lambda v: proj(ilu.solve(proj(v))))
     Aop = spla.LinearOperator(A.shape, lambda v: proj(A @ proj(v)))
     its = {"n": 0}
 
@@ -154,26 +188,46 @@ def time_solve(A, rtol, label, maxiter=200, fill_factor=10.0, deflate=False):
 
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [32, 64, 128]
+    # trace ILU is only run at sizes where it is tractable (its iteration
+    # count degrades superlinearly: 85/816/2355 at 64/128/256 — the 256 row
+    # took 92 min/step in round 3); the GTMG anchor replaces it as the
+    # defensible mesh-independent number (CPU_BASELINE_ILU=1 forces it)
+    ilu_cap = 128 if os.environ.get("CPU_BASELINE_ILU") != "1" else 10**9
     results = []
     for nx in sizes:
-        print(f"== nx={nx} k=2 ==")
+        print(f"== nx={nx} k=2 ==", flush=True)
         t0 = time.perf_counter()
-        A_t, S_g = build_matrices(nx)
-        print(f"  assembly(+element blocks): {time.perf_counter()-t0:.1f}s")
+        A_t, S_g, gtmg_M, t_gtmg = build_matrices(nx, with_gtmg=True)
+        print(f"  assembly(+element blocks): {time.perf_counter()-t0:.1f}s",
+              flush=True)
         # tentative: GMRES+ILU rtol 1e-10 (hdg_imex.py:224-228)
         tf_t, ts_t, it_t = time_solve(A_t, 1e-10, "tentative GMRES+ILU")
         # pressure: condensed trace GMRES rtol 1e-12 (hdg_imex.py:135-137)
-        tf_p, ts_p, it_p = time_solve(S_g, 1e-12, "trace GMRES+ILU", deflate=True)
+        # with the reference's own two-level GTMG composition
+        tf_p, ts_p, it_p = time_solve(
+            S_g, 1e-12, "trace GMRES+GTMG", deflate=True, M_apply=gtmg_M,
+            t_setup=t_gtmg,
+        )
+        row = {"nx": nx,
+               "tentative_s": ts_t, "tentative_factor_s": tf_t,
+               "tentative_its": it_t,
+               "pressure_s": ts_p, "pressure_its": it_p}
+        if nx <= ilu_cap:
+            _, ts_pi, it_pi = time_solve(
+                S_g, 1e-12, "trace GMRES+ILU", deflate=True,
+                maxiter=5000 // 60 + 1,
+            )
+            row["pressure_ilu_s"] = ts_pi
+            row["pressure_ilu_its"] = it_pi
         # reference composition (SURVEY 3.1): 4 tentative + 6 pressure per
         # step; ILU refactorization happens once per stage for the tentative
         # operator (it changes with Q*): 2 stage factorizations per step.
         per_step = 4 * ts_t + 6 * ts_p + 2 * tf_t
-        print(f"  per-step (4 tent + 6 press + 2 factor): {per_step:.2f}s")
-        results.append({"nx": nx, "per_step_s": per_step,
-                        "tentative_s": ts_t, "tentative_factor_s": tf_t,
-                        "tentative_its": it_t,
-                        "pressure_s": ts_p, "pressure_its": it_p})
-        print(json.dumps(results[-1]))
+        print(f"  per-step (4 tent + 6 press + 2 factor): {per_step:.2f}s",
+              flush=True)
+        row["per_step_s"] = per_step
+        results.append(row)
+        print(json.dumps(results[-1]), flush=True)
     if len(results) >= 2:
         # linear-in-cells extrapolation from the largest measured size
         r = results[-1]
