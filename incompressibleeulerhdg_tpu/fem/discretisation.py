@@ -78,6 +78,7 @@ __all__ = ["Geom", "HDGDiscretisation"]
         "fcol_mask",
         "fint",
         "fvalid",
+        "cvalid",
     ],
     meta_fields=[
         "n_int",
@@ -153,6 +154,13 @@ class Geom:
     # uniform slab-local layout (positions that exist for shape uniformity
     # across shard_map devices but correspond to no physical facet)
     fvalid: jnp.ndarray = None
+    # optional cell-validity mask (nc,): zero on the trailing DUMMY grid
+    # columns an uneven slab decomposition pads the last slab with
+    # (nx % n_devices != 0, parallel/slab.py).  Consumed by the forcing
+    # interpolation (dummy cells must carry zero data so they stay decoupled
+    # and invisible to global reductions); None on even decompositions and
+    # single-device runs.
+    cvalid: jnp.ndarray = None
 
     # static metadata
     n_int: int = 0

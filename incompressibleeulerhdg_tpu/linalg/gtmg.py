@@ -565,6 +565,15 @@ def prolong(pc, zc):
             # periodic i seam: the last slab's interface row is row 0 —
             # extend the canvas so the dynamic row slice never wraps
             zg = jnp.concatenate([zg, zg[:1]], axis=0)
+        # uneven decompositions (nx % n_slabs != 0) pad the grid with dummy
+        # trailing columns on the last slab: extend the canvas with zero
+        # rows so its row slice never clamps/shifts (the dummy-vertex values
+        # are masked downstream by geom.fvalid)
+        rows_needed = n_slabs * (crows - 1) + 1
+        if rows_needed > zg.shape[0]:
+            zg = jnp.concatenate(
+                [zg, jnp.zeros((rows_needed - zg.shape[0], My), zg.dtype)]
+            )
         row0 = jax.lax.axis_index(axis_name) * (crows - 1)
         local = jax.lax.dynamic_slice(zg, (row0, jnp.int32(0)), (crows, My))
 
@@ -626,12 +635,17 @@ def restrict(pc, lam):
                     _shift_axis(pad, -d[0], -2, False), -d[1], -1, wrap
                 )
         row0 = jax.lax.axis_index(axis_name) * (crows - 1)
-        rows = Mx + 1 if wrap else Mx  # periodic: extended canvas, fold below
+        # periodic: extended canvas, fold below; uneven decompositions:
+        # extra dummy rows so the last slab's embedding never clamps (their
+        # contributions are zero — dummy-facet lam is fvalid-masked)
+        rows = max(Mx + 1 if wrap else Mx, n_slabs * (crows - 1) + 1)
         glob = jax.lax.dynamic_update_slice(
             jnp.zeros((rows, My), lam.dtype), canvas, (row0, jnp.int32(0))
         )
         if wrap:
             glob = glob[:Mx].at[0].add(glob[Mx])
+        else:
+            glob = glob[:Mx]
         # shared slab-interface vertex rows are resolved by the sum; the
         # result is the REPLICATED global coarse residual (1 MB at 512^2)
         return jax.lax.psum(glob, axis_name).ravel()

@@ -90,6 +90,11 @@ def monolithic_stage_solve(
 
     t_op = build_tentative_operator(geom, star, c, alpha, upwind)
 
+    from ..ops.structured import dist_axis
+    from .krylov import _pdot, _pnorm
+
+    ax = dist_axis(geom)
+
     def matvec(v):
         u, p, lam = unflat(v)
         # u-rows via the assembled blocks (same operator, far cheaper than
@@ -113,22 +118,32 @@ def monolithic_stage_solve(
         )
         return flat(dQt + c * du, dp, dlam)
 
-    # deflate the (0, 1_p, 1_lam) nullspace
+    # deflate the (0, 1_p, 1_lam) nullspace; norms/dots are GLOBAL reductions
+    # when slab-distributed (the nullvec's cell/facet rows skip dummy slots)
+    fval = getattr(geom, "fvalid", None)
+    lam1 = (
+        jnp.ones((nt, nf), dtype)
+        if fval is None
+        else jnp.broadcast_to(fval[None, :], (nt, nf)).astype(dtype)
+    )
+    p1 = jnp.ones((d0, nc), dtype)
+    if geom.cvalid is not None:
+        p1 = p1 * geom.cvalid
     nullv = flat(
         jnp.zeros((2, d1, nc), dtype),
-        jnp.ones((d0, nc), dtype),
-        jnp.ones((nt, nf), dtype),
+        p1,
+        lam1,
     )
-    nullv = nullv / jnp.linalg.norm(nullv)
+    nullv = nullv / _pnorm(nullv, ax)
 
     def project(v):
-        return v - nullv * jnp.dot(nullv, v)
+        return v - nullv * _pdot(nullv, v, ax)
 
     b = flat(b_u, jnp.zeros((d0, nc), dtype), jnp.zeros((nt, nf), dtype))
     x0flat = None if x0 is None else flat(*x0)
     x, iters, _ = fgmres(
         matvec, b, M=M, x0=x0flat, rtol=rtol, restart=restart, maxiter=maxiter,
-        project=project,
+        project=project, axis_name=ax,
     )
     Q, p, lam = unflat(x)
     return Q, p, lam, iters, iters

@@ -173,6 +173,21 @@ def _fvalid(geom, x):
     return x if fv is None else x * fv
 
 
+def _cvalid(geom, x):
+    """Zero out dummy CELL positions (uneven slab decompositions only).
+
+    The seam facet between the last real grid column and the first dummy
+    column is a global BOUNDARY facet: globally its minus-side value is
+    dropped by the zero-fill roll off the grid edge, but locally the dummy
+    cell exists at that offset and would catch it — and, once nonzero, feed
+    spurious contributions back into the real seam facet through the
+    adjoint scatter.  Masking every cell-field-producing move keeps the
+    dummy cells exactly zero for the whole step (the decoupling invariant
+    of parallel/slab.py's padding scheme)."""
+    cv = getattr(geom, "cvalid", None)
+    return x if cv is None else x * cv
+
+
 def gather_plus(geom, u):
     """Plus-cell values of a cell field at every facet: (..., nc) -> (..., nf)."""
     colors, bnd = geom.shift[4], geom.shift[5]
@@ -220,7 +235,7 @@ def scatter_sides_sum(geom, c0, c1):
             acc_lo = acc_lo + pad
         else:
             acc_up = acc_up + pad
-    return grid_join(geom, acc_lo, acc_up)
+    return _cvalid(geom, grid_join(geom, acc_lo, acc_up))
 
 
 def slot_gather(geom, gf):
@@ -245,7 +260,10 @@ def slot_gather(geom, gf):
             lo_blocks[l] = lo_blocks[l] + pad
         else:
             up_blocks[l] = up_blocks[l] + pad
-    return [grid_join(geom, lo_blocks[l], up_blocks[l]) for l in range(3)]
+    return [
+        _cvalid(geom, grid_join(geom, lo_blocks[l], up_blocks[l]))
+        for l in range(3)
+    ]
 
 
 def slot_scatter(geom, y_slots):

@@ -49,6 +49,7 @@ __all__ = [
     "build_slab_decomposition",
     "scatter_state",
     "make_distributed_step",
+    "make_distributed_simple_step",
 ]
 
 AXIS = "slab"
@@ -66,14 +67,28 @@ class SlabDecomposition:
         if spec is None:
             raise RuntimeError("slab decomposition needs a structured mesh")
         nx, ny, periodic = spec[0], spec[1], spec[2]
-        if nx % n_slabs != 0:
+        # nx % n_slabs != 0: pad the grid to n_slabs * ceil(nx / n_slabs)
+        # columns; the trailing dummy columns all live on the LAST slab
+        # (zero-masked cells/facets — geom.cvalid/fvalid), so the halo
+        # exchange between real slabs is untouched.  Periodic meshes need
+        # the last local row to be the physical wrap neighbor of slab 0, so
+        # they still require divisibility.
+        nxl = -(-nx // n_slabs)
+        pad = n_slabs * nxl - nx
+        if pad and periodic:
             raise RuntimeError(
-                f"n_devices={n_slabs} must divide the grid size nx={nx}"
+                f"n_devices={n_slabs} must divide nx={nx} on periodic meshes "
+                "(the wrap halo needs the last local grid row to be physical)"
             )
-        nxl = nx // n_slabs
+        if nxl * (n_slabs - 1) >= nx:
+            raise RuntimeError(
+                f"n_devices={n_slabs} leaves an empty slab at nx={nx}: use "
+                f"n_devices <= {max(1, nx // max(1, nxl))}"
+            )
         self.disc = disc
         self.n_slabs = n_slabs
         self.nx, self.ny, self.nxl = nx, ny, nxl
+        self.pad = pad
         self.periodic = periodic
         nch = nx * ny
         gh = disc._geom_host
@@ -85,20 +100,26 @@ class SlabDecomposition:
         self.nc_loc = 2 * A
 
         # ---- local -> global index maps per slab --------------------------
-        cell_maps, facet_maps, facet_valid = [], [], []
+        cell_maps, facet_maps, facet_valid, cell_valid = [], [], [], []
         for d in range(n_slabs):
             r0 = d * nxl
-            low = (r0 * ny + np.arange(A)).astype(np.int64)
+            ii = r0 + np.arange(nxl)  # global grid column per local column
+            cv_col = ii < nx  # real columns (False only on the last slab)
+            ii_c = np.where(cv_col, ii, 0)  # clamp dummies to column 0
+            low = (ii_c[:, None] * ny + np.arange(ny)).ravel().astype(np.int64)
             cells = np.concatenate([low, nch + low])
-            fV = cf[low, 0]
-            fD = cf[low, 1]
-            fH = cf[low, 2]
+            cval = np.tile(np.repeat(cv_col.astype(np.float64), ny), 2)
+            vcol = np.repeat(cv_col.astype(np.float64), ny)  # per facet rect
+            fV = np.where(vcol > 0, cf[low, 0], 0)
+            fD = np.where(vcol > 0, cf[low, 1], 0)
+            fH = np.where(vcol > 0, cf[low, 2], 0)
             if periodic:
                 fmap = np.concatenate([fV, fD, fH])
                 valid = np.ones(3 * A)
             else:
-                up_top = nch + r0 * ny + (np.arange(nxl) * ny + (ny - 1))
-                fT = cf[up_top, 0]
+                up_top = nch + ii_c * ny + (ny - 1)
+                fT = np.where(cv_col, cf[up_top, 0], 0)
+                vT = cv_col.astype(np.float64)
                 if d == 0:
                     upL = nch + np.arange(ny)
                     fL = cf[upL, 1]
@@ -107,13 +128,15 @@ class SlabDecomposition:
                     fL = np.zeros(ny, dtype=cf.dtype)
                     vL = np.zeros(ny)
                 fmap = np.concatenate([fV, fD, fH, fT, fL])
-                valid = np.concatenate([np.ones(3 * A + nxl), vL])
+                valid = np.concatenate([vcol, vcol, vcol, vT, vL])
             cell_maps.append(cells)
             facet_maps.append(fmap)
             facet_valid.append(valid)
+            cell_valid.append(cval)
         self.cell_maps = cell_maps
         self.facet_maps = facet_maps
         self.facet_valid = facet_valid
+        self.cell_valid = cell_valid
 
         # ---- local static spec (identical across slabs) -------------------
         colors = (
@@ -230,6 +253,9 @@ class SlabDecomposition:
             fcol_mask=np.zeros((ncol, self.nc_loc), dtype),
             fint=fint,
             fvalid=self.facet_valid[d].astype(dtype),
+            # None on even decompositions: the stacked pytree must keep one
+            # treedef across slabs, so it is all-or-nothing per decomposition
+            cvalid=self.cell_valid[d].astype(dtype) if self.pad else None,
             # meta must be IDENTICAL across slabs (the stacked pytree is one
             # SPMD program); interiorness comes from the fint DATA array
             n_int=3 * self.nxl * self.ny,
@@ -251,7 +277,11 @@ class SlabDecomposition:
         v = self.facet_valid[d]
         Sdiag_loc = Sdiag_loc * v + eye[:, :, None] * (1.0 - v)
         nullvec = self._take_facets(np.asarray(cs.nullvec), d)
-        dtype = np.asarray(cs_host["S"]).dtype
+        # the host copies are float64 for setup accuracy; the DEVICE tables
+        # must follow the discretisation dtype like cs itself (a float64
+        # slab cs silently promoted the whole f32 distributed step under
+        # jax_enable_x64)
+        dtype = np.asarray(cs.nullvec).dtype
         return dataclasses.replace(
             cs,
             S=jnp.asarray(S_loc, dtype),
@@ -353,16 +383,30 @@ class SlabDecomposition:
     # ------------------------------------------------------------------
 
     def scatter_cell_field(self, u):
-        """Global (..., nc) -> stacked (n_slabs, ..., nc_loc)."""
+        """Global (..., nc) -> stacked (n_slabs, ..., nc_loc).
+
+        Dummy cells of an uneven decomposition read clamped (real) indices;
+        mask them to ZERO — the whole-step invariant that keeps them
+        decoupled and invisible to global reductions."""
         u = np.asarray(u)
-        return jnp.asarray(np.stack([u[..., cm] for cm in self.cell_maps]))
+        return jnp.asarray(
+            np.stack(
+                [
+                    u[..., cm] * cv.astype(u.dtype)
+                    for cm, cv in zip(self.cell_maps, self.cell_valid)
+                ]
+            )
+        )
 
     def scatter_facet_field(self, lam):
         lam = np.asarray(lam)
         return jnp.asarray(
             np.stack(
                 [
-                    lam[..., fm] * fv
+                    # keep the field dtype: the float64 validity mask would
+                    # silently promote a float32 state (and then the whole
+                    # distributed step) under jax_enable_x64
+                    lam[..., fm] * fv.astype(lam.dtype)
                     for fm, fv in zip(self.facet_maps, self.facet_valid)
                 ]
             )
@@ -370,8 +414,10 @@ class SlabDecomposition:
 
     def gather_cell_field(self, u_s, global_shape):
         out = np.zeros(global_shape, dtype=np.asarray(u_s).dtype)
-        for d, cm in enumerate(self.cell_maps):
-            out[..., cm] = np.asarray(u_s)[d]
+        for d, (cm, cv) in enumerate(zip(self.cell_maps, self.cell_valid)):
+            # dummy cells alias real index 0 — write only the real ones
+            sel = cv > 0
+            out[..., cm[sel]] = np.asarray(u_s)[d][..., sel]
         return out
 
     def gather_facet_field(self, lam_s, global_shape):
@@ -408,6 +454,53 @@ def _shard_map(f, mesh, in_specs, out_specs):
 
         return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_rep=False)
+
+
+def make_distributed_simple_step(dec, stepper, f_rhs_fn):
+    """Slab-decomposed wrapper for the single-state schemes (hdg_implicit,
+    dg_implicit — step signature (geom, proj, cs, pc, Q, p, f_nodal)).
+
+    The same jitted step body runs per slab inside one shard_map (the
+    operator kernels dispatch on the slab-local ``geom.shift`` spec, so
+    facet<->cell moves ride the ppermute halos and Krylov dots psum —
+    identical machinery to the IMEX :func:`make_distributed_step`); the
+    forcing is interpolated on the LOCAL velocity nodes inside the map.
+
+    Returns ``dstep(Q_s, p_s, tn) -> (Q_s, p_s, *extras)`` on stacked
+    (n_slabs, ...) fields; extras (iteration counts) are de-stacked scalars.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    step = stepper._make_step()
+    mesh = dec.mesh_devices
+    dtype = dec.disc.dtype
+
+    def body(geom, proj, cs, pc, Q, p, tn):
+        geom0, proj0, cs0, pc0, Q0, p0 = jax.tree_util.tree_map(
+            lambda a: a[0], (geom, proj, cs, pc, Q, p)
+        )
+        x = geom0.xnodes1
+        fx, fy = f_rhs_fn(tn)(x[0], x[1])
+        f_nodal = jnp.stack(jnp.broadcast_arrays(fx, fy), axis=0).astype(dtype)
+        if geom0.cvalid is not None:  # uneven slabs: zero the dummy cells
+            f_nodal = f_nodal * geom0.cvalid
+        out = step(geom0, proj0, cs0, pc0, Q0, p0, f_nodal)
+        return jax.tree_util.tree_map(lambda a: a[None], tuple(out))
+
+    sharded = _shard_map(
+        body,
+        mesh,
+        in_specs=(P(AXIS),) * 6 + (P(),),
+        out_specs=P(AXIS),
+    )
+
+    @jax.jit
+    def dstep(Q, p, tn):
+        out = sharded(dec.geom, dec.proj, dec.cs, dec.pc, Q, p, tn)
+        extras = tuple(jax.tree_util.tree_map(lambda a: a[0], e) for e in out[2:])
+        return (out[0], out[1]) + extras
+
+    return dstep
 
 
 def make_distributed_step(dec, stepper, f_rhs_fn, with_tracer=False):

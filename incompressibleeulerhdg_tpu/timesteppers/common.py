@@ -73,6 +73,34 @@ class IncompressibleEuler(ABC):
         )
         return ops, st
 
+    def slab_context(self, f_rhs, with_tracer=False):
+        """Build ``(dec, dist_step)`` when the scalable slab path applies to
+        this stepper — structured mesh, ``n_devices > 1``, no tracer, and a
+        simple ``step(geom, proj, cs, pc, Q, p, f_nodal)`` body — else None
+        (callers fall back to the GSPMD sharding of
+        :meth:`shard_ops_and_state`).
+
+        This extends the halo-exchange domain decomposition beyond IMEX to
+        the dg/hdg implicit families (the reference's MPI decomposition
+        covers every scheme uniformly, SURVEY.md section 2.4); the
+        conforming RT scheme keeps the GSPMD fallback — its RT assembly
+        uses index-table gathers the slab-local layout does not carry.
+        """
+        n = getattr(self, "n_devices", 1)
+        if n <= 1 or with_tracer or self.disc.mesh.shift_spec is None:
+            return None
+        import jax
+
+        if len(jax.devices()) < n:
+            raise RuntimeError(
+                f"n_devices={n} but only {len(jax.devices())} jax devices "
+                "are visible"
+            )
+        from ..parallel import slab as _slab
+
+        dec = _slab.build_slab_decomposition(self.disc, self, n)
+        return dec, _slab.make_distributed_simple_step(dec, self, f_rhs)
+
     def tracer_cg_space(self):
         """Vector CG(k+1) space for the tracer advecting-velocity projection.
 

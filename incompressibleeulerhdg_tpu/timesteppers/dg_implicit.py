@@ -13,6 +13,7 @@ Per step (dg_implicit.py:116-134): Q* = project_bdm(Q); assemble rhs
 (Q + dt f, w); monolithic solve; pressure mean shift; optional tracer.
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -67,7 +68,12 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
 
         def solve_monolithic(geom, cs, precond, star, t_op, b_u, Q0, p0):
             """FGMRES on the coupled (u, p) system, preconditioned by one
-            projection cycle (replacing GMRES+MUMPS, dg_implicit.py:77-82)."""
+            projection cycle (replacing GMRES+MUMPS, dg_implicit.py:77-82).
+            Inner products are global reductions when slab-distributed."""
+            from ..ops.structured import dist_axis
+            from ..linalg.krylov import _pdot, _pnorm
+
+            ax = dist_axis(geom)
             nc, d1, d0 = geom.n_cells, geom.d1, geom.d0
             nu = nc * d1 * 2
 
@@ -94,14 +100,17 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
                 )
                 return flat(dQt + dt * du, dp)
 
-            nullv = flat(jnp.zeros((2, d1, nc), b_u.dtype), jnp.ones((d0, nc), b_u.dtype))
-            nullv = nullv / jnp.linalg.norm(nullv)
-            project = lambda v: v - nullv * jnp.dot(nullv, v)
+            ones_p = jnp.ones((d0, nc), b_u.dtype)
+            if geom.cvalid is not None:  # skip dummy cells of uneven slabs
+                ones_p = ones_p * geom.cvalid
+            nullv = flat(jnp.zeros((2, d1, nc), b_u.dtype), ones_p)
+            nullv = nullv / _pnorm(nullv, ax)
+            project = lambda v: v - nullv * _pdot(nullv, v, ax)
 
             b = flat(b_u, jnp.zeros((d0, nc), b_u.dtype))
             x, _, _ = fgmres(
                 matvec, b, M=M, x0=flat(Q0, p0), rtol=10 * rtol_p,
-                restart=20, maxiter=100, project=project,
+                restart=20, maxiter=100, project=project, axis_name=ax,
             )
             return unflat(x)
 
@@ -112,7 +121,8 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
             b_u = F.mass_apply(geom, geom.m1, Q + dt * f_nodal)
             t_op = build_tentative_operator(geom, star, dt, alpha, upwind)
             Q_new, p_new = solve_monolithic(geom, cs, precond, star, t_op, b_u, Q, p)
-            p_new = p_new - F.integral(geom, geom.phi0, p_new) / vol
+            m = F.integral(geom, geom.phi0, p_new) / vol
+            p_new = p_new - (m * geom.cvalid if geom.cvalid is not None else m)
             return Q_new, p_new
 
         return step
@@ -142,20 +152,35 @@ class IncompressibleEulerDGImplicit(IncompressibleEuler):
         for callback in self.callbacks:
             callback.reset()
             callback(Q, p, k_start * self._dt, q_tracer=q_tracer)
-        ops, (Q, p) = self.shard_ops_and_state(
-            (Q, p), self._proj, self._cs, self._gtmg
-        )
+        ctx = self.slab_context(f_rhs, with_tracer=q_tracer is not None)
+        if ctx is not None:
+            dec, dist_step = ctx
+            Q_shape, p_shape = Q.shape, p.shape
+            Q, p = dec.scatter_cell_field(Q), dec.scatter_cell_field(p)
+            gather = lambda: (
+                jnp.asarray(dec.gather_cell_field(np.asarray(Q), Q_shape)),
+                jnp.asarray(dec.gather_cell_field(np.asarray(p), p_shape)),
+            )
+        else:
+            ops, (Q, p) = self.shard_ops_and_state(
+                (Q, p), self._proj, self._cs, self._gtmg
+            )
+            gather = lambda: (Q, p)
         for k in tqdm.tqdm(range(k_start, nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
                     q_tracer = tracer_step(
                         self.geom, q_tracer, Q, self._dt, cg_space=self.tracer_cg_space()
                     )
-                f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
-                Q, p = self._step(*ops, Q, p, f_nodal)
+                if ctx is not None:
+                    tn = jnp.asarray(k * self._dt, dtype=self.disc.dtype)
+                    Q, p = dist_step(Q, p, tn)
+                else:
+                    f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
+                    Q, p = self._step(*ops, Q, p, f_nodal)
                 jax.block_until_ready(Q)
             if checkpoint_every and (k + 1) % checkpoint_every == 0:
-                self.save_state(checkpoint_path, k + 1, Q, p, q_tracer)
+                self.save_state(checkpoint_path, k + 1, *gather(), q_tracer)
             for callback in self.callbacks:
-                callback(Q, p, (k + 1) * self._dt, q_tracer=q_tracer)
-        return Q, p
+                callback(*gather(), (k + 1) * self._dt, q_tracer=q_tracer)
+        return gather()

@@ -208,12 +208,23 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
 
         def shift(geom, p, lam):
             m = F.integral(geom, geom.phi0, p) / vol
+            if geom.cvalid is not None:
+                # uneven slabs: the shift must not write the (global) mean
+                # into dummy cells/facets — they would re-enter the NEXT
+                # mean integral (dummy det_jac aliases real cells) and the
+                # Krylov dots; masking keeps the all-zeros dummy invariant
+                return p - m * geom.cvalid, lam - m * geom.fvalid
             return p - m, lam - m
 
         def interp_velocity(geom, fn):
             x = geom.xnodes1  # (2, d1, nc)
             fx, fy = fn(x[0], x[1])
-            return jnp.stack(jnp.broadcast_arrays(fx, fy), axis=0).astype(out_dtype)
+            v = jnp.stack(jnp.broadcast_arrays(fx, fy), axis=0).astype(out_dtype)
+            if geom.cvalid is not None:
+                # uneven slab decompositions: dummy cells must carry ZERO
+                # data (their xnodes alias cell 0) so they stay decoupled
+                v = v * geom.cvalid
+            return v
 
         def forcing(geom, tn):
             """Forcing at all stage times (hdg_imex.py:554-557)."""
@@ -934,15 +945,16 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             print(f"  max Krylov relative residual: {self.max_relres:8.2e}")
             # a solve that exits via the stagnation guard above tolerance is
             # otherwise silent — surface it (VERDICT round 1, weakness 6).
-            # The threshold is floored at ~1e3 eps(dtype): the fused
-            # tentative solver reports the TRUE final residual, which in
-            # float32 stalls at the attainable-accuracy floor (~2e-5 at
-            # 256^2 — measured) far above the nominal 1e-10 tolerance; that
-            # floor is working-precision physics, not a stall
-            eps = float(jnp.finfo(self.disc.dtype).eps)
-            stall_tol = max(
-                20.0 * max(self.rtol_pressure, self.rtol_tentative), 1.0e3 * eps
-            )
+            # In FLOAT32 the threshold is floored at 1e3 eps ~ 1.2e-4: the
+            # fused tentative solver reports the TRUE final residual, which
+            # in f32 stalls at the attainable-accuracy floor (~2e-5 at 256^2
+            # — measured) far above the nominal 1e-10 tolerance; that floor
+            # is working-precision physics, not a stall.  float64 keeps the
+            # pure rtol-scaled threshold (its floor sits below any practical
+            # tolerance).
+            stall_tol = 20.0 * max(self.rtol_pressure, self.rtol_tentative)
+            if jnp.finfo(self.disc.dtype).bits <= 32:
+                stall_tol = max(stall_tol, 1.0e3 * float(jnp.finfo(self.disc.dtype).eps))
             if self.max_relres > stall_tol:
                 import warnings
 

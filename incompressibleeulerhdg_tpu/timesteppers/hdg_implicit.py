@@ -17,6 +17,7 @@ The whole timestep is one jitted function; the host loop only runs callbacks
 and progress reporting.
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import tqdm
@@ -106,8 +107,10 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
                     geom, cs, star, b, dt, alpha=alpha, upwind=upwind,
                     rtol=rtol_p, precond=precond,
                 )
-            # step 3: zero-mean pressure
-            p_new = p_new - F.integral(geom, geom.phi0, p_new) / vol
+            # step 3: zero-mean pressure (dummy cells of an uneven slab
+            # decomposition must stay zero — see Geom.cvalid)
+            m = F.integral(geom, geom.phi0, p_new) / vol
+            p_new = p_new - (m * geom.cvalid if geom.cvalid is not None else m)
             return Q_new, p_new, it_tent, it_p
 
         return step
@@ -141,20 +144,35 @@ class IncompressibleEulerHDGImplicit(IncompressibleEuler):
             callback.reset()
             callback(Q, p, k_start * self._dt, q_tracer=q_tracer)
 
-        ops, (Q, p) = self.shard_ops_and_state(
-            (Q, p), self._proj, self._cs, self._gtmg
-        )
+        ctx = self.slab_context(f_rhs, with_tracer=q_tracer is not None)
+        if ctx is not None:
+            dec, dist_step = ctx
+            Q_shape, p_shape = Q.shape, p.shape
+            Q, p = dec.scatter_cell_field(Q), dec.scatter_cell_field(p)
+            gather = lambda: (
+                jnp.asarray(dec.gather_cell_field(np.asarray(Q), Q_shape)),
+                jnp.asarray(dec.gather_cell_field(np.asarray(p), p_shape)),
+            )
+        else:
+            ops, (Q, p) = self.shard_ops_and_state(
+                (Q, p), self._proj, self._cs, self._gtmg
+            )
+            gather = lambda: (Q, p)
         for k in tqdm.tqdm(range(k_start, nt)):
             with PerformanceLog("timestep"):
                 if q_tracer is not None:
                     q_tracer = tracer_step(
                         geom, q_tracer, Q, self._dt, cg_space=self.tracer_cg_space()
                     )
-                f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
-                Q, p, it_tent, it_p = self._step(*ops, Q, p, f_nodal)
+                if ctx is not None:
+                    tn = jnp.asarray(k * self._dt, dtype=self.disc.dtype)
+                    Q, p, it_tent, it_p = dist_step(Q, p, tn)
+                else:
+                    f_nodal = self.disc.interpolate_velocity(f_rhs(k * self._dt))
+                    Q, p, it_tent, it_p = self._step(*ops, Q, p, f_nodal)
             if checkpoint_every and (k + 1) % checkpoint_every == 0:
-                self.save_state(checkpoint_path, k + 1, Q, p, q_tracer)
+                self.save_state(checkpoint_path, k + 1, *gather(), q_tracer)
             for callback in self.callbacks:
-                callback(Q, p, (k + 1) * self._dt, q_tracer=q_tracer)
+                callback(*gather(), (k + 1) * self._dt, q_tracer=q_tracer)
 
-        return Q, p
+        return gather()
