@@ -28,17 +28,21 @@ from .smallinv import gauss_jordan_inv_bl
 def _fact_wanted():
     """Whether uniform meshes should store FACTORED tentative tables.
 
-    ``IEHDG_FACT=1/0`` overrides.  Default: on everywhere except real TPU
-    backends — the factored apply's TPU fast path is the Pallas kernel
-    (:func:`_fact_pallas`), which is pending hardware measurement (the
-    pure-XLA factored apply measured SLOWER than the dense tables on TPU,
-    see the TentativeOperator docstring).  Flip the default once the
-    microbenchmark (tools/microbench_fact.py) confirms the win.
+    ``IEHDG_FACT=1/0`` overrides.  Default: ON (round 4) — measured on the
+    TPU v5e (tools/microbench_fact.py at 512^2 k=2 f32: matvec 8.30 vs
+    8.88 ms, symmetric colored apply 51.8 vs 60.7 ms; end-to-end bench.py:
+    256^2 0.886 vs 0.946 s/step, 512^2 3.44 vs 3.82 s/step) with identical
+    in-timestep iteration counts and velocity L2 error vs the analytic
+    vortex.  Caveat recorded in BASELINE.md: on random-rhs stress solves at
+    the f32 attainable-accuracy floor the factored patch factors cost ~33%
+    more iterations (tools/bisect_tent.py: 112 vs 84 at 256^2) — that
+    regime never occurs inside a timestep, where the smooth right-hand
+    sides converge at rtol well above the floor.
     """
     flag = os.environ.get("IEHDG_FACT")
     if flag is not None:
         return flag == "1"
-    return jax.default_backend() not in ("tpu", "axon")
+    return True
 
 _register_tentative_op = partial(
     jax.tree_util.register_dataclass,
