@@ -409,19 +409,24 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
     eye = jnp.eye(nu, dtype=dtype)
     store = pc_dtype or dtype
     if geom.shift is not None:
-        # structured: per-color D gathers are rect slices/rolls, and Dinv0
-        # need not be stored at all — the patch solve re-slices op.Dinv
-        # (saves 400*nf floats of HBM and the 400-row gathers of the build)
+        # structured: per-color D gathers are rect slices/rolls at BUILD
+        # time; the color-sorted Dinv0 slices are STORED contiguously (like
+        # Sinv) — re-slicing op.Dinv per patch solve looked free but the
+        # lane-strided color rects relayout at 108 GB/s vs 440 for the
+        # contiguous color slices (tools/microbench_sweep.py, 512^2: the
+        # single largest cost of the fused sweep).  Costs 400*nf floats of
+        # HBM, already computed here for the Schur build.
         from ..ops import structured as st
 
         Dup = st.grid_halves(geom, D_bl)[1]
         Dinv_lo = st.grid_halves(geom, Dinv_bl)[0]
-        Sinv_parts = []
+        Sinv_parts, Dinv0_parts = [], []
         for k, (l, lu, i0, j0, ni, nj, off) in enumerate(geom.shift[4]):
             rect = (i0, j0, ni, nj)
             b0, b1 = geom.fcol_bounds[k], geom.fcol_bounds[k + 1]
             D1 = st.rect_flat(st.roll2(geom, Dup, off), rect)
             Dinv0_k = st.rect_flat(Dinv_lo, rect)
+            Dinv0_parts.append(Dinv0_k.astype(store))
             if factored:
                 # reconstruct the dense color-slice cross blocks as
                 # transients (the stored tables stay factored)
@@ -448,6 +453,16 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
             Sinv_parts.append(
                 jnp.broadcast_to(eye[:, :, None], (nu, nu, nbnd)).astype(store)
             )
+            # plus-cell blocks for the boundary tail, matching the
+            # unstructured build's Dinv0 (one build-time gather of ~4 nx
+            # facets).  Slab-local layouts carry fcells == 0 (gather path
+            # unused there): the tail is then cell-0 blocks, never read —
+            # the colored sweep masks every non-interior position by
+            # geom.fint, exactly like Sinv's identity tail.
+            Dinv0_parts.append(
+                Dinv_bl[:, :, geom.fcells[0, geom.n_int :]].astype(store)
+            )
+        Dinv0_full = jnp.concatenate(Dinv0_parts, axis=2)
         if factored:
             # store the scalar tables Pallas-tiled when the kernel applies
             # (f32, tileable layout) — flat otherwise (JAX reference path)
@@ -459,13 +474,17 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
                 and geom.fcol_bounds[-1] <= (nf // blk) * blk
             )
             tt = (lambda T: tile_table(T, blk)) if use_pallas else (lambda T: T)
+            # Sinv/Dinv0 tile with the SAME gate: the fused patch-solve
+            # kernel (_patch_pallas) consumes all four tables tiled.  The
+            # tail truncation drops boundary facets only (identity /
+            # plus-cell blocks the color sweep never reads)
             return TentativeOperator(
                 D=None,
                 Bx=None,
                 Cx=None,
                 Dinv=Dinv_bl,
-                Sinv=jnp.concatenate(Sinv_parts, axis=2),
-                Dinv0=None,
+                Sinv=tt(jnp.concatenate(Sinv_parts, axis=2)),
+                Dinv0=tt(Dinv0_full),
                 Sown=tt(S_own),
                 Pcell=Pcell,
                 Ks01=tt(K01s),
@@ -479,7 +498,7 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
             Cx=Cx,
             Dinv=Dinv_bl,
             Sinv=jnp.concatenate(Sinv_parts, axis=2),
-            Dinv0=None,
+            Dinv0=Dinv0_full,
         )
 
     # chunked over facets: the unchunked chain holds D1, two _bmm
@@ -752,6 +771,123 @@ def _fact_color_apply(geom, A, Pk, x, b0):
     return _bm2(A[:, :, b0 : b0 + m], x) + Pk @ x
 
 
+def _patch_kernel_factory(d1):
+    """Fused facet-pair patch solve for one color, one pass over the tables.
+
+    Per (R, 128) element tile computes the whole 2x2 block-Schur solve
+        w  = Dinv0 r0
+        t  = r1 - (eye2 (x) Ks10 + Cp) w
+        y1 = Sinv t
+        y0 = Dinv0 (r0 - (eye2 (x) Ks01 + Bp) y1)
+    with every table read from HBM exactly once.  The XLA composition of
+    the same algebra launches 5 separate block ops whose (nu, nu, .)
+    operands sublane-pad 20 -> 24 and re-read the fields between them —
+    measured 3.9 ms per color at 512^2 vs ~1.3 ms of irreducible table
+    bytes (tools/microbench_sweep.py).  All tiny-matrix indices unroll as
+    SCALAR multipliers on full (R, 128) tiles, like _fact_kernel_factory.
+    """
+    nu = 2 * d1
+
+    def kernel(
+        pB_ref, pC_ref, di_ref, si_ref, k01_ref, k10_ref,
+        r0_ref, r1_ref, y0_ref, y1_ref,
+    ):
+        # di/si (1, nu, nu, R, 128) VMEM; k01/k10 (1, d1, d1, R, 128) VMEM;
+        # pB/pC (1, nu, nu) SMEM; r0/r1/y0/y1 (nu, 1, R, 128) VMEM
+        w = []
+        for i in range(nu):
+            acc = di_ref[0, i, 0] * r0_ref[0, 0]
+            for j in range(1, nu):
+                acc = acc + di_ref[0, i, j] * r0_ref[j, 0]
+            w.append(acc)
+        t = []
+        for a in range(2):
+            for i in range(d1):
+                row = a * d1 + i
+                acc = pC_ref[0, row, 0] * w[0]
+                for j in range(1, nu):
+                    acc = acc + pC_ref[0, row, j] * w[j]
+                for j in range(d1):
+                    acc = acc + k10_ref[0, i, j] * w[a * d1 + j]
+                t.append(r1_ref[row, 0] - acc)
+        y1 = []
+        for i in range(nu):
+            acc = si_ref[0, i, 0] * t[0]
+            for j in range(1, nu):
+                acc = acc + si_ref[0, i, j] * t[j]
+            y1.append(acc)
+            y1_ref[i, 0] = acc
+        u = []
+        for a in range(2):
+            for i in range(d1):
+                row = a * d1 + i
+                acc = pB_ref[0, row, 0] * y1[0]
+                for j in range(1, nu):
+                    acc = acc + pB_ref[0, row, j] * y1[j]
+                for j in range(d1):
+                    acc = acc + k01_ref[0, i, j] * y1[a * d1 + j]
+                u.append(r0_ref[row, 0] - acc)
+        for i in range(nu):
+            acc = di_ref[0, i, 0] * u[0]
+            for j in range(1, nu):
+                acc = acc + di_ref[0, i, j] * u[j]
+            y0_ref[i, 0] = acc
+
+    return kernel
+
+
+def _patch_pallas(Di5, Si5, K01_5, K10_5, Bp_k, Cp_k, r0, r1, block,
+                  offset=0, interpret=False):
+    """Pallas launch of the fused color patch solve.
+
+    :arg Di5/Si5: (NT, nu, nu, R, 128) tiled plus-cell inverse / patch Schur
+        inverse tables (tile_table)
+    :arg K01_5/K10_5: (NT, d1, d1, R, 128) tiled scalar cross tables
+    :arg Bp_k/Cp_k: (nu, nu) per-color constant penalty cross blocks
+    :arg r0/r1: (nu, m) plus/minus side residuals of the color (m, offset
+        multiples of block)
+    :returns: (y0, y1) each (nu, m)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _NT, nu, _, R, _ = Di5.shape
+    d1 = nu // 2
+    m = r0.shape[1]
+    ntile = m // block
+    off_t = offset // block
+    r04 = r0.reshape(nu, ntile, R, 128)
+    r14 = r1.reshape(nu, ntile, R, 128)
+    mem = {} if interpret else dict(memory_space=pltpu.VMEM)
+    smem = {} if interpret else dict(memory_space=pltpu.SMEM)
+    tab = lambda i: (i + off_t, 0, 0, 0, 0)
+    fld = lambda i: (0, i, 0, 0)
+    y0, y1 = pl.pallas_call(
+        _patch_kernel_factory(d1),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((1, nu, nu), lambda i: (0, 0, 0), **smem),
+            pl.BlockSpec((1, nu, nu), lambda i: (0, 0, 0), **smem),
+            pl.BlockSpec((1, nu, nu, R, 128), tab, **mem),
+            pl.BlockSpec((1, nu, nu, R, 128), tab, **mem),
+            pl.BlockSpec((1, d1, d1, R, 128), tab, **mem),
+            pl.BlockSpec((1, d1, d1, R, 128), tab, **mem),
+            pl.BlockSpec((nu, 1, R, 128), fld, **mem),
+            pl.BlockSpec((nu, 1, R, 128), fld, **mem),
+        ],
+        out_specs=(
+            pl.BlockSpec((nu, 1, R, 128), fld, **mem),
+            pl.BlockSpec((nu, 1, R, 128), fld, **mem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nu, ntile, R, 128), r0.dtype),
+            jax.ShapeDtypeStruct((nu, ntile, R, 128), r0.dtype),
+        ),
+        interpret=interpret,
+    )(Bp_k[None], Cp_k[None], Di5, Si5, K01_5, K10_5, r04, r14)
+    return y0.reshape(nu, m), y1.reshape(nu, m)
+
+
 def _matvec_bl(geom, op, ub):
     """Assembled-block application on a component-major (nu, nc) field."""
     msk = interior_mask(geom, 1)[None, :]
@@ -780,17 +916,30 @@ def _patch_apply_bl(geom, op, rb):
     msk = interior_mask(geom, 1)[None, :]
     r0, r1 = _gather_sides_bl(geom, rb)
     Dinv0 = op.Dinv0
-    if Dinv0 is None:  # structured build does not store Dinv0 (diagnostic path)
+    if Dinv0 is None or Dinv0.ndim == 5:
+        # diagnostic path only: reconstruct the full-facet flat layout from
+        # op.Dinv (the hot colored sweep consumes the tiled tables directly)
         from ..ops.structured import gather_plus
 
         Dinv0 = gather_plus(geom, op.Dinv)
+    Sinv = op.Sinv
+    if Sinv.ndim == 5:
+        nu_, nf_ = rb.shape[0], geom.n_facets
+        Sflat = flat_table(Sinv)
+        tail = nf_ - Sflat.shape[2]
+        if tail:  # truncated boundary facets: identity, matching the build
+            eye_t = jnp.broadcast_to(
+                jnp.eye(nu_, dtype=Sflat.dtype)[:, :, None], (nu_, nu_, tail)
+            )
+            Sflat = jnp.concatenate([Sflat, eye_t], axis=2)
+        Sinv = Sflat
     if op.Sown is not None:  # factored cross blocks
         t = r1 - _fact_cross_apply(geom, op.Ks10, op.Cp, _bm(Dinv0, r0)) * msk
-        y1 = _bm(op.Sinv, t) * msk
+        y1 = _bm(Sinv, t) * msk
         y0 = _bm(Dinv0, r0 - _fact_cross_apply(geom, op.Ks01, op.Bp, y1))
     else:
         t = r1 - _bm(op.Cx, _bm(Dinv0, r0))
-        y1 = _bm(op.Sinv, t) * msk
+        y1 = _bm(Sinv, t) * msk
         y0 = _bm(Dinv0, r0 - _bm(op.Bx, y1))
     return _assemble_cells_bl(geom, y0, y1) / 3.0
 
@@ -826,8 +975,10 @@ def _patch_color(geom, op, k, rb):
 def _patch_color_structured(geom, op, k, rb):
     """Structured-mesh variant of :func:`_patch_color`: the per-color
     facet<->cell moves are rect slices/rolls on the [lowers; uppers] grid
-    (ops/structured.py) and the plus-cell block inverse is re-sliced from
-    ``op.Dinv`` instead of a stored gathered copy."""
+    (ops/structured.py) and the plus-cell block inverses stream from the
+    stored color-sorted ``op.Dinv0`` — re-slicing ``op.Dinv`` per solve
+    relayouts the lane-strided color rects at 1/4 bandwidth
+    (tools/microbench_sweep.py)."""
     from ..ops import structured as st
 
     l, lu, i0, j0, ni, nj, off = geom.shift[4][k]
@@ -836,13 +987,20 @@ def _patch_color_structured(geom, op, k, rb):
     lo, up = st.grid_halves(geom, rb)
     r0 = st.rect_flat(lo, rect)
     r1 = st.rect_flat(st.roll2(geom, up, off), rect)
-    Dinv0 = st.rect_flat(st.grid_halves(geom, op.Dinv)[0], rect)
-    if op.Sown is not None:  # factored cross blocks (single color slice)
+    if op.Sown is not None and op.Dinv0.ndim == 5:
+        # tiled tables: the whole patch solve is ONE Pallas kernel pass
+        y0, y1 = _patch_pallas(
+            op.Dinv0, op.Sinv, op.Ks01, op.Ks10, op.Bp[k], op.Cp[k],
+            r0, r1, _fact_block(geom), offset=b0,
+        )
+    elif op.Sown is not None:  # factored cross blocks (single color slice)
+        Dinv0 = op.Dinv0[:, :, b0:b1]
         w = _bm(Dinv0, r0)
         t = r1 - _fact_color_apply(geom, op.Ks10, op.Cp[k], w, b0)
         y1 = _bm(op.Sinv[:, :, b0:b1], t)
         y0 = _bm(Dinv0, r0 - _fact_color_apply(geom, op.Ks01, op.Bp[k], y1, b0))
     else:
+        Dinv0 = op.Dinv0[:, :, b0:b1]
         t = r1 - _bm(op.Cx[:, :, b0:b1], _bm(Dinv0, r0))
         y1 = _bm(op.Sinv[:, :, b0:b1], t)
         y0 = _bm(Dinv0, r0 - _bm(op.Bx[:, :, b0:b1], y1))

@@ -107,7 +107,6 @@ def test_tentative_operator_parity(name, degree):
 
     op_s = build_tentative_operator(geom, star, c, 1.0, True)
     op_g = build_tentative_operator(geom0, star, c, 1.0, True)
-    assert op_s.Dinv0 is None and op_g.Dinv0 is not None
     # the structured build stores FACTORED tables on these uniform meshes;
     # reconstruct the dense blocks for the table-level comparison
     assert op_s.Sown is not None and op_g.Sown is None
@@ -115,7 +114,10 @@ def test_tentative_operator_parity(name, degree):
     for fld, a in (("D", D_s), ("Bx", Bx_s), ("Cx", Cx_s)):
         b = np.asarray(getattr(op_g, fld))
         assert np.allclose(np.asarray(a), b, atol=1e-11), fld
-    for fld in ("Dinv", "Sinv"):
+    # Dinv0 is stored color-sorted-contiguous on structured meshes (round 4:
+    # the patch solves stream it instead of re-slicing Dinv at 1/4 bandwidth)
+    # and must equal the unstructured build's plus-cell gather facet by facet
+    for fld in ("Dinv", "Sinv", "Dinv0"):
         a, b = np.asarray(getattr(op_s, fld)), np.asarray(getattr(op_g, fld))
         assert np.allclose(a, b, atol=1e-11), fld
 
@@ -380,3 +382,64 @@ def test_fact_pallas_kernel_matches():
         )
     )
     assert np.allclose(got2, ref2, atol=1e-4), np.abs(got2 - ref2).max()
+
+
+def test_patch_pallas_kernel_matches():
+    """The fused Pallas patch-solve kernel (interpret mode on CPU)
+    reproduces the JAX composition of the color patch solve
+        w = Dinv0 r0; t = r1 - (eye2 (x) Ks10 + Cp) w; y1 = Sinv t;
+        y0 = Dinv0 (r0 - (eye2 (x) Ks01 + Bp) y1)
+    including a nonzero color/tile offset."""
+    from incompressibleeulerhdg_tpu.linalg.preconditioners import (
+        _bm,
+        _bm2,
+        _patch_pallas,
+        tile_table,
+    )
+
+    rng = np.random.default_rng(13)
+    d1, block, ntile = 5, 128, 3
+    nu, M = 2 * d1, block * ntile
+    Di = jnp.asarray(rng.standard_normal((nu, nu, M)), jnp.float32)
+    Si = jnp.asarray(rng.standard_normal((nu, nu, M)), jnp.float32)
+    K01 = jnp.asarray(rng.standard_normal((d1, d1, M)), jnp.float32)
+    K10 = jnp.asarray(rng.standard_normal((d1, d1, M)), jnp.float32)
+    Bp = jnp.asarray(rng.standard_normal((nu, nu)), jnp.float32)
+    Cp = jnp.asarray(rng.standard_normal((nu, nu)), jnp.float32)
+    r0 = jnp.asarray(rng.standard_normal((nu, M)), jnp.float32)
+    r1 = jnp.asarray(rng.standard_normal((nu, M)), jnp.float32)
+
+    def ref_solve(Di_s, Si_s, K01_s, K10_s, r0_s, r1_s):
+        w = _bm(Di_s, r0_s)
+        t = r1_s - (_bm2(K10_s, w) + Cp @ w)
+        y1 = _bm(Si_s, t)
+        u = r0_s - (_bm2(K01_s, y1) + Bp @ y1)
+        return np.asarray(_bm(Di_s, u)), np.asarray(y1)
+
+    y0_ref, y1_ref = ref_solve(Di, Si, K01, K10, r0, r1)
+    y0, y1 = _patch_pallas(
+        tile_table(Di, block), tile_table(Si, block),
+        tile_table(K01, block), tile_table(K10, block),
+        Bp, Cp, r0, r1, block, interpret=True,
+    )
+    assert np.allclose(np.asarray(y0), y0_ref, atol=1e-3), np.abs(
+        np.asarray(y0) - y0_ref
+    ).max()
+    assert np.allclose(np.asarray(y1), y1_ref, atol=1e-3), np.abs(
+        np.asarray(y1) - y1_ref
+    ).max()
+
+    # offset: solve the sub-range starting at tile 1 (the per-color path
+    # addresses the shared tables by block offset)
+    sl = slice(block, None)
+    y0_ref2, y1_ref2 = ref_solve(
+        Di[:, :, sl], Si[:, :, sl], K01[:, :, sl], K10[:, :, sl],
+        r0[:, sl], r1[:, sl],
+    )
+    y0o, y1o = _patch_pallas(
+        tile_table(Di, block), tile_table(Si, block),
+        tile_table(K01, block), tile_table(K10, block),
+        Bp, Cp, r0[:, sl], r1[:, sl], block, offset=block, interpret=True,
+    )
+    assert np.allclose(np.asarray(y0o), y0_ref2, atol=1e-3)
+    assert np.allclose(np.asarray(y1o), y1_ref2, atol=1e-3)
