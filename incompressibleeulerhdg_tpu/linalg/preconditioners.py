@@ -95,7 +95,13 @@ def dense_blocks(geom, op):
     nu = 2 * d1
     nc = Sown.shape[2]
     nf = geom.n_facets
-    if Ks01.shape[2] < nf:  # tiled tables truncate the (all-zero) boundary tail
+    if op.Ks01.ndim == 5:
+        # tiled tables live in the padded color layout and drop the
+        # (all-zero) boundary tail — restore the global layout
+        blk = _fact_block(geom)
+        Ks01 = _unpad_cols(geom, Ks01, blk, tail=nf - geom.fcol_bounds[-1])
+        Ks10 = _unpad_cols(geom, Ks10, blk, tail=nf - geom.fcol_bounds[-1])
+    elif Ks01.shape[2] < nf:
         pad = ((0, 0), (0, 0), (0, nf - Ks01.shape[2]))
         Ks01 = jnp.pad(Ks01, pad)
         Ks10 = jnp.pad(Ks10, pad)
@@ -448,6 +454,39 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
                     geom.fint[b0:b1][None, None, :] > 0, Sc, eye[:, :, None]
                 )
             Sinv_parts.append(gauss_jordan_inv_bl(Sc).astype(store))
+        blk = _fact_block(geom) if factored else None
+        use_pallas = blk is not None and dtype == jnp.float32
+        if use_pallas:
+            # store the four sweep tables Pallas-tiled in the PADDED color
+            # layout (_pad_bounds): full-tile blocks at every mesh size, no
+            # boundary tail (identity / plus-cell blocks the color sweep
+            # never reads; Ks columns there are exact zeros)
+            pb = _pad_bounds(geom, blk)
+
+            def cat_pad(parts):
+                out = []
+                for k, pk in enumerate(parts):
+                    pad = (pb[k + 1] - pb[k]) - pk.shape[2]
+                    if pad:
+                        pk = jnp.pad(pk, ((0, 0), (0, 0), (0, pad)))
+                    out.append(pk)
+                return jnp.concatenate(out, axis=2)
+
+            tt = lambda T: tile_table(T, blk)
+            return TentativeOperator(
+                D=None,
+                Bx=None,
+                Cx=None,
+                Dinv=Dinv_bl,
+                Sinv=tt(cat_pad(Sinv_parts)),
+                Dinv0=tt(cat_pad(Dinv0_parts)),
+                Sown=tt(S_own),
+                Pcell=Pcell,
+                Ks01=tt(_pad_cols(geom, K01s, blk)),
+                Ks10=tt(_pad_cols(geom, K10s, blk)),
+                Bp=Bp,
+                Cp=Cp,
+            )
         nbnd = nf - geom.n_int
         if nbnd:
             Sinv_parts.append(
@@ -464,31 +503,18 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
             )
         Dinv0_full = jnp.concatenate(Dinv0_parts, axis=2)
         if factored:
-            # store the scalar tables Pallas-tiled when the kernel applies
-            # (f32, tileable layout) — flat otherwise (JAX reference path)
-            blk = _fact_block(geom)
-            use_pallas = (
-                blk is not None
-                and dtype == jnp.float32
-                and nc % blk == 0
-                and geom.fcol_bounds[-1] <= (nf // blk) * blk
-            )
-            tt = (lambda T: tile_table(T, blk)) if use_pallas else (lambda T: T)
-            # Sinv/Dinv0 tile with the SAME gate: the fused patch-solve
-            # kernel (_patch_pallas) consumes all four tables tiled.  The
-            # tail truncation drops boundary facets only (identity /
-            # plus-cell blocks the color sweep never reads)
+            # flat factored tables (f64 / CPU JAX reference path)
             return TentativeOperator(
                 D=None,
                 Bx=None,
                 Cx=None,
                 Dinv=Dinv_bl,
-                Sinv=tt(jnp.concatenate(Sinv_parts, axis=2)),
-                Dinv0=tt(Dinv0_full),
-                Sown=tt(S_own),
+                Sinv=jnp.concatenate(Sinv_parts, axis=2),
+                Dinv0=Dinv0_full,
+                Sown=S_own,
                 Pcell=Pcell,
-                Ks01=tt(K01s),
-                Ks10=tt(K10s),
+                Ks01=K01s,
+                Ks10=K10s,
                 Bp=Bp,
                 Cp=Cp,
             )
@@ -629,6 +655,83 @@ def tile_table(A, block):
     )
 
 
+def _interp():
+    """Run the Pallas hot-path kernels in interpret mode (CPU testing).
+
+    ``IEHDG_PALLAS_INTERPRET=1`` lets the tiled-table code paths — including
+    the padded color layout — execute on the CPU backend, so the exact
+    production dataflow is testable without a TPU.
+    """
+    return os.environ.get("IEHDG_PALLAS_INTERPRET") == "1"
+
+
+def _pad_bounds(geom, block):
+    """Padded color bounds: each color segment rounded up to whole tiles.
+
+    The interior-facet colors of a NON-periodic structured mesh have sizes
+    like (nx-1)*ny that are not multiples of the preferred 1024-element
+    Pallas tile, which previously forced block = ny (R = block/128 < 8
+    sublane-groups): every (R, 128) tile padded to 8 sublanes in HBM and on
+    the VPU, costing 8/R x on ALL tiled-table kernels — measured ~2x at
+    512^2 (block 512) and ~4x at 256^2 (block 256).  Storing each color
+    padded to a tile multiple keeps block = 1024 at every production size;
+    the pad columns are zeros (cross tables) / identities (Schur factors)
+    and their kernel outputs are sliced away.  Static Python ints.
+    """
+    b = geom.fcol_bounds
+    pb = [0]
+    for k in range(len(b) - 1):
+        m = b[k + 1] - b[k]
+        pb.append(pb[-1] + -(-m // block) * block)
+    return tuple(pb)
+
+
+def _cols_aligned(geom, block):
+    """True when every color size is already a whole number of tiles (the
+    padded layout then degenerates to the plain concatenation)."""
+    b = geom.fcol_bounds
+    return all((b[k + 1] - b[k]) % block == 0 for k in range(len(b) - 1))
+
+
+def _pad_cols(geom, T, block, fill=0.0):
+    """Concatenate per-color slices of a flat facet table/field into the
+    padded layout: (..., >= b[-1]) -> (..., pb[-1]).  Drops any boundary
+    tail past the colors (its tiled-table columns are never read)."""
+    b = geom.fcol_bounds
+    if _cols_aligned(geom, block):
+        return T[..., : b[-1]]
+    parts = []
+    for k in range(len(b) - 1):
+        seg = T[..., b[k] : b[k + 1]]
+        pad = -(-(b[k + 1] - b[k]) // block) * block - (b[k + 1] - b[k])
+        if pad:
+            widths = [(0, 0)] * (T.ndim - 1) + [(0, pad)]
+            seg = jnp.pad(seg, widths, constant_values=fill)
+        parts.append(seg)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _unpad_cols(geom, T, block, tail=0, tail_fill=0.0):
+    """Inverse of :func:`_pad_cols`: padded (..., pb[-1]) -> global color
+    layout (..., b[-1] + tail), the tail filled with ``tail_fill``."""
+    b = geom.fcol_bounds
+    if _cols_aligned(geom, block):
+        out = T[..., : b[-1]]
+    else:
+        pb = _pad_bounds(geom, block)
+        out = jnp.concatenate(
+            [
+                T[..., pb[k] : pb[k] + (b[k + 1] - b[k])]
+                for k in range(len(b) - 1)
+            ],
+            axis=-1,
+        )
+    if tail:
+        widths = [(0, 0)] * (T.ndim - 1) + [(0, tail)]
+        out = jnp.pad(out, widths, constant_values=tail_fill)
+    return out
+
+
 def flat_table(T):
     """Inverse view of :func:`tile_table` for diagnostics/tests."""
     if T.ndim == 3:
@@ -676,24 +779,23 @@ def _fact_pallas(A5, Ptile, x, block, offset=0, interpret=False):
 def _fact_block(geom):
     """Pallas tile size for the factored apply, or None for the JAX path.
 
-    Every color boundary and the cell lower/upper split must land on whole
-    blocks (on the [lowers; uppers] grid layouts all are multiples of ny,
-    and of 1024 from 128^2 up).  Prefer block = 1024: R = block/128 = 8
-    sublane-groups makes every (R, 128) tile a FULL native f32 (8, 128)
-    VMEM tile — R < 8 pads each tile to 8 sublanes, costing 8/R x in HBM
-    table traffic and VPU utilisation (measured 2x at 512^2, 4x at 256^2
-    with the earlier block = ny choice).
+    block = 1024: R = block/128 = 8 sublane-groups makes every (R, 128)
+    tile a FULL native f32 (8, 128) VMEM tile — R < 8 pads each tile to 8
+    sublanes, costing 8/R x in HBM table traffic and VPU utilisation
+    (measured 2x at 512^2, 4x at 256^2 with the earlier block = ny choice).
+    Only the CELL lower/upper split must land on whole blocks; color
+    boundaries are handled by the padded tiled layout (:func:`_pad_bounds`),
+    so non-periodic meshes — whose (nx-1)*ny color sizes misalign — get the
+    full-tile block too.
     """
     if geom.shift is None:
         return None
-    if jax.default_backend() not in ("tpu", "axon"):
+    if jax.default_backend() not in ("tpu", "axon") and not _interp():
         return None
+    nch = geom.shift[0] * geom.shift[1]
     for block in (1024, 512, 256, 128):
-        if any(b % block for b in geom.fcol_bounds):
-            continue
-        if (geom.shift[0] * geom.shift[1]) % block:
-            continue
-        return block
+        if nch % block == 0 and geom.n_cells % block == 0:
+            return block
     return None
 
 
@@ -711,16 +813,20 @@ def _fact_apply(geom, A, P, x, per="color"):
     nu, m = x.shape
     if A.ndim == 5:
         block = _fact_block(geom)
-        mfloor = (m // block) * block
-        ntile = mfloor // block
+        interp = _interp()
         if per == "half":
+            # cell axis: block divides both halves by the _fact_block gate
             nch = geom.shift[0] * geom.shift[1]
-            reps = [nch // block, ntile - nch // block]
+            reps = [nch // block, (m - nch) // block]
         else:
-            b = geom.fcol_bounds
-            reps = [(b[k + 1] - b[k]) // block for k in range(len(b) - 1)]
-            reps.append(ntile - b[-1] // block)
-            P = jnp.concatenate([P, jnp.zeros((1, nu, nu), P.dtype)])
+            # facet axis: tables live in the PADDED color layout — move x
+            # into it, apply, move back (pads/boundary tail return zeros:
+            # their table columns are zero by construction)
+            pb = _pad_bounds(geom, block)
+            reps = [
+                (pb[k + 1] - pb[k]) // block for k in range(len(pb) - 1)
+            ]
+            x = _pad_cols(geom, x, block)
         Ptile = jnp.concatenate(
             [
                 jnp.broadcast_to(P[k][None], (r, nu, nu))
@@ -728,15 +834,10 @@ def _fact_apply(geom, A, P, x, per="color"):
                 if r > 0
             ]
         )
-        if mfloor == m:
-            return _fact_pallas(A, Ptile, x, block)
-        # non-multiple facet counts (slab-local layouts): the overhang is
-        # entirely boundary facets — zero penalty AND zero (masked) Ks
-        # columns, so the factored apply is identically zero there
-        z = _fact_pallas(A, Ptile, x[:, :mfloor], block)
-        return jnp.concatenate(
-            [z, jnp.zeros((nu, m - mfloor), x.dtype)], axis=1
-        )
+        z = _fact_pallas(A, Ptile, x, block, interpret=interp)
+        if per == "half":
+            return z
+        return _unpad_cols(geom, z, block, tail=m - geom.fcol_bounds[-1])
     z = _bm2(A, x)
     if per == "half":
         nch = geom.shift[0] * geom.shift[1]
@@ -757,17 +858,26 @@ def _fact_cross_apply(geom, Ks, Pk, u):
     return _fact_apply(geom, Ks, Pk, u, per="color")
 
 
-def _fact_color_apply(geom, A, Pk, x, b0):
-    """Single-color factored cross apply: (eye2 (x) A[cols b0:b0+m] + Pk) x.
+def _fact_color_apply(geom, A, Pk, x, k):
+    """Single-color factored cross apply on color ``k``'s facet values:
+    (eye2 (x) A[color k] + Pk) x.
 
-    Color starts are multiples of the Pallas tile (= ny), so the table
-    tiles are addressed by block offset without materialising a slice.
+    Tiled tables live in the PADDED color layout: the color starts at the
+    whole-tile offset ``_pad_bounds(geom, block)[k]`` and x is zero-padded
+    to whole tiles (pad outputs sliced away).  Flat tables use the plain
+    ``fcol_bounds`` slice.
     """
     nu, m = x.shape
     if A.ndim == 5:
         block = _fact_block(geom)
-        Ptile = jnp.broadcast_to(Pk[None], (m // block, nu, nu))
-        return _fact_pallas(A, Ptile, x, block, offset=b0)
+        pb = _pad_bounds(geom, block)
+        pm = pb[k + 1] - pb[k]
+        xk = jnp.pad(x, ((0, 0), (0, pm - m))) if pm != m else x
+        Ptile = jnp.broadcast_to(Pk[None], (pm // block, nu, nu))
+        z = _fact_pallas(A, Ptile, xk, block, offset=pb[k],
+                         interpret=_interp())
+        return z[:, :m] if pm != m else z
+    b0 = geom.fcol_bounds[k]
     return _bm2(A[:, :, b0 : b0 + m], x) + Pk @ x
 
 
@@ -925,9 +1035,9 @@ def _patch_apply_bl(geom, op, rb):
     Sinv = op.Sinv
     if Sinv.ndim == 5:
         nu_, nf_ = rb.shape[0], geom.n_facets
-        Sflat = flat_table(Sinv)
+        Sflat = _unpad_cols(geom, flat_table(Sinv), _fact_block(geom))
         tail = nf_ - Sflat.shape[2]
-        if tail:  # truncated boundary facets: identity, matching the build
+        if tail:  # dropped boundary facets: identity, matching the build
             eye_t = jnp.broadcast_to(
                 jnp.eye(nu_, dtype=Sflat.dtype)[:, :, None], (nu_, nu_, tail)
             )
@@ -988,17 +1098,30 @@ def _patch_color_structured(geom, op, k, rb):
     r0 = st.rect_flat(lo, rect)
     r1 = st.rect_flat(st.roll2(geom, up, off), rect)
     if op.Sown is not None and op.Dinv0.ndim == 5:
-        # tiled tables: the whole patch solve is ONE Pallas kernel pass
+        # tiled tables: the whole patch solve is ONE Pallas kernel pass.
+        # The tables live in the padded color layout — pad the residuals
+        # to whole tiles, solve at the padded offset, slice back.
+        block = _fact_block(geom)
+        pb = _pad_bounds(geom, block)
+        m = r0.shape[1]
+        pm = pb[k + 1] - pb[k]
+        if pm != m:
+            r0p = jnp.pad(r0, ((0, 0), (0, pm - m)))
+            r1p = jnp.pad(r1, ((0, 0), (0, pm - m)))
+        else:
+            r0p, r1p = r0, r1
         y0, y1 = _patch_pallas(
             op.Dinv0, op.Sinv, op.Ks01, op.Ks10, op.Bp[k], op.Cp[k],
-            r0, r1, _fact_block(geom), offset=b0,
+            r0p, r1p, block, offset=pb[k], interpret=_interp(),
         )
+        if pm != m:
+            y0, y1 = y0[:, :m], y1[:, :m]
     elif op.Sown is not None:  # factored cross blocks (single color slice)
         Dinv0 = op.Dinv0[:, :, b0:b1]
         w = _bm(Dinv0, r0)
-        t = r1 - _fact_color_apply(geom, op.Ks10, op.Cp[k], w, b0)
+        t = r1 - _fact_color_apply(geom, op.Ks10, op.Cp[k], w, k)
         y1 = _bm(op.Sinv[:, :, b0:b1], t)
-        y0 = _bm(Dinv0, r0 - _fact_color_apply(geom, op.Ks01, op.Bp[k], y1, b0))
+        y0 = _bm(Dinv0, r0 - _fact_color_apply(geom, op.Ks01, op.Bp[k], y1, k))
     else:
         Dinv0 = op.Dinv0[:, :, b0:b1]
         t = r1 - _bm(op.Cx[:, :, b0:b1], _bm(Dinv0, r0))
@@ -1083,8 +1206,8 @@ def _cross_offcolor(geom, op, k, dz):
         z0 = st.rect_flat(lo_dz, rect)  # plus-side (lower-cell) values
         z1 = st.rect_flat(st.roll2(geom, up_dz, off), rect)  # minus side
         if op.Sown is not None:
-            y0 = _fact_color_apply(geom, op.Ks01, op.Bp[j], z1, b0)
-            y1 = _fact_color_apply(geom, op.Ks10, op.Cp[j], z0, b0)
+            y0 = _fact_color_apply(geom, op.Ks01, op.Bp[j], z1, j)
+            y1 = _fact_color_apply(geom, op.Ks10, op.Cp[j], z0, j)
         else:
             y0 = _bm(op.Bx[:, :, b0:b1], z1)
             y1 = _bm(op.Cx[:, :, b0:b1], z0)

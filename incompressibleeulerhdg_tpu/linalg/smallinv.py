@@ -44,7 +44,10 @@ def _gj_pallas_kernel_factory(n):
     return kernel
 
 
-def _gj_pallas(A, block=512, interpret=False):
+def _gj_pallas(A, block=1024, interpret=False):
+    # block = 1024 keeps every (8, 128)-shaped row chunk a FULL native f32
+    # VMEM tile (block 512 = 4 sublane-groups padded to 8: 2x HBM traffic
+    # and VPU waste); the batch tail pads with identities below.
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
