@@ -94,6 +94,7 @@ def monolithic_stage_solve(
     from .krylov import _pdot, _pnorm
 
     ax = dist_axis(geom)
+    fval = getattr(geom, "fvalid", None)
 
     def matvec(v):
         u, p, lam = unflat(v)
@@ -103,6 +104,17 @@ def monolithic_stage_solve(
             geom, p, lam
         )
         r_p, r_lam = gamma_apply(geom, u, p, lam, cs.tau)
+        if fval is not None:
+            # slab-local layouts: gamma_apply's mu-rows treat the zero-masked
+            # DUMMY facet slots as boundary facets and fill them with aliased
+            # trace data — nonzero dummy components would corrupt every
+            # psum'd Krylov dot (the cell rows are already protected by the
+            # slot machinery's fvalid masks).  Keep the all-zeros dummy
+            # invariant of parallel/slab.py on every operator output.
+            r_lam = r_lam * fval
+        if geom.cvalid is not None:
+            r_u = r_u * geom.cvalid
+            r_p = r_p * geom.cvalid
         return flat(r_u, r_p, r_lam)
 
     def M(v):

@@ -98,7 +98,7 @@ def dense_blocks(geom, op):
     if op.Ks01.ndim == 5:
         # tiled tables live in the padded color layout and drop the
         # (all-zero) boundary tail — restore the global layout
-        blk = _fact_block(geom)
+        blk = _table_block(op.Ks01)
         Ks01 = _unpad_cols(geom, Ks01, blk, tail=nf - geom.fcol_bounds[-1])
         Ks10 = _unpad_cols(geom, Ks10, blk, tail=nf - geom.fcol_bounds[-1])
     elif Ks01.shape[2] < nf:
@@ -135,7 +135,12 @@ def trace_block_jacobi(cs):
 
     def M(v):
         lam = v.reshape(nt, -1)
-        return jnp.einsum("ijf,jf->if", cs.Sdiag_inv, lam).ravel()
+        # unrolled tiny-block FMAs (the einsum form relayouts batch-major:
+        # 49 GB/s measured at 512^2, tools/microbench_gtmg.py round 5)
+        out = 0.0
+        for j in range(nt):
+            out = out + cs.Sdiag_inv[:, j, :] * lam[j][None, :]
+        return out.ravel()
 
     return M
 
@@ -655,6 +660,19 @@ def tile_table(A, block):
     )
 
 
+def _table_block(T):
+    """Pallas tile size encoded in a 5-D tiled table's own layout.
+
+    Apply sites derive the block from the STORED table (block = R * 128)
+    instead of re-running the :func:`_fact_block` build-time gate, whose
+    backend/env-var inputs can change between build and apply (e.g.
+    ``IEHDG_PALLAS_INTERPRET`` cleared after building tiled tables) — the
+    gate would then return None and crash with an opaque ``% NoneType``
+    instead of applying the tables it was handed.
+    """
+    return T.shape[3] * 128
+
+
 def _interp():
     """Run the Pallas hot-path kernels in interpret mode (CPU testing).
 
@@ -675,8 +693,10 @@ def _pad_bounds(geom, block):
     the VPU, costing 8/R x on ALL tiled-table kernels — measured ~2x at
     512^2 (block 512) and ~4x at 256^2 (block 256).  Storing each color
     padded to a tile multiple keeps block = 1024 at every production size;
-    the pad columns are zeros (cross tables) / identities (Schur factors)
-    and their kernel outputs are sliced away.  Static Python ints.
+    the pad columns of EVERY table (cross tables AND the Schur/plus-cell
+    factors — cat_pad in build_tentative_operator pads with zeros) are
+    zeros, safe because a pad column only ever sees zero residual input and
+    its kernel output is sliced away.  Static Python ints.
     """
     b = geom.fcol_bounds
     pb = [0]
@@ -812,7 +832,7 @@ def _fact_apply(geom, A, P, x, per="color"):
     """
     nu, m = x.shape
     if A.ndim == 5:
-        block = _fact_block(geom)
+        block = _table_block(A)
         interp = _interp()
         if per == "half":
             # cell axis: block divides both halves by the _fact_block gate
@@ -869,7 +889,7 @@ def _fact_color_apply(geom, A, Pk, x, k):
     """
     nu, m = x.shape
     if A.ndim == 5:
-        block = _fact_block(geom)
+        block = _table_block(A)
         pb = _pad_bounds(geom, block)
         pm = pb[k + 1] - pb[k]
         xk = jnp.pad(x, ((0, 0), (0, pm - m))) if pm != m else x
@@ -879,6 +899,169 @@ def _fact_color_apply(geom, A, Pk, x, k):
         return z[:, :m] if pm != m else z
     b0 = geom.fcol_bounds[k]
     return _bm2(A[:, :, b0 : b0 + m], x) + Pk @ x
+
+
+def _cross_pair_kernel_factory(d1):
+    """Fused PAIR of factored cross applies for one color, one pass:
+
+        y0 = (eye2 (x) K01 + Bp) x1      (plus-cell rows from minus values)
+        y1 = (eye2 (x) K10 + Cp) x0      (minus-cell rows from plus values)
+
+    Replaces two separate _fact_pallas launches (and their per-launch
+    operand staging) with one kernel that streams both cross tables and
+    both side fields tile-linearly — built for _cross_offcolor, whose four
+    separate factored applies measured 222 GB/s effective against the
+    550-640 GB/s the fused patch kernel reaches (BASELINE.md round-4
+    roofline; round-4 verdict next-step 1b).
+    """
+    nu = 2 * d1
+
+    def kernel(pB_ref, pC_ref, k01_ref, k10_ref, x0_ref, x1_ref,
+               y0_ref, y1_ref):
+        # k01/k10 (1, d1, d1, R, 128) VMEM; pB/pC (1, nu, nu) SMEM;
+        # x0/x1/y0/y1 (nu, 1, R, 128) VMEM
+        for a in range(2):
+            for i in range(d1):
+                row = a * d1 + i
+                acc0 = pB_ref[0, row, 0] * x1_ref[0, 0]
+                acc1 = pC_ref[0, row, 0] * x0_ref[0, 0]
+                for j in range(1, nu):
+                    acc0 = acc0 + pB_ref[0, row, j] * x1_ref[j, 0]
+                    acc1 = acc1 + pC_ref[0, row, j] * x0_ref[j, 0]
+                for j in range(d1):
+                    acc0 = acc0 + k01_ref[0, i, j] * x1_ref[a * d1 + j, 0]
+                    acc1 = acc1 + k10_ref[0, i, j] * x0_ref[a * d1 + j, 0]
+                y0_ref[row, 0] = acc0
+                y1_ref[row, 0] = acc1
+
+    return kernel
+
+
+def _cross_pair_pallas(K01_5, K10_5, BpT, CpT, x0, x1, block,
+                       offset=0, interpret=False):
+    """Pallas launch of the fused cross pair over a facet range.
+
+    :arg K01_5/K10_5: (NT, d1, d1, R, 128) tiled scalar cross tables
+    :arg BpT/CpT: (ntile, nu, nu) PER-TILE constant penalty blocks for x's
+        range (a single color broadcasts its constant; the full-field apply
+        concatenates per-color broadcasts like _fact_apply's Ptile)
+    :arg x0/x1: (nu, m) plus/minus side values (m, offset multiples of block)
+    :returns: (y0, y1) each (nu, m)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _NT, d1, _, R, _ = K01_5.shape
+    nu = 2 * d1
+    m = x0.shape[1]
+    ntile = m // block
+    off_t = offset // block
+    x04 = x0.reshape(nu, ntile, R, 128)
+    x14 = x1.reshape(nu, ntile, R, 128)
+    mem = {} if interpret else dict(memory_space=pltpu.VMEM)
+    smem = {} if interpret else dict(memory_space=pltpu.SMEM)
+    tab = lambda i: (i + off_t, 0, 0, 0, 0)
+    fld = lambda i: (0, i, 0, 0)
+    pen = lambda i: (i, 0, 0)
+    y0, y1 = pl.pallas_call(
+        _cross_pair_kernel_factory(d1),
+        grid=(ntile,),
+        in_specs=[
+            pl.BlockSpec((1, nu, nu), pen, **smem),
+            pl.BlockSpec((1, nu, nu), pen, **smem),
+            pl.BlockSpec((1, d1, d1, R, 128), tab, **mem),
+            pl.BlockSpec((1, d1, d1, R, 128), tab, **mem),
+            pl.BlockSpec((nu, 1, R, 128), fld, **mem),
+            pl.BlockSpec((nu, 1, R, 128), fld, **mem),
+        ],
+        out_specs=(
+            pl.BlockSpec((nu, 1, R, 128), fld, **mem),
+            pl.BlockSpec((nu, 1, R, 128), fld, **mem),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nu, ntile, R, 128), x0.dtype),
+            jax.ShapeDtypeStruct((nu, ntile, R, 128), x0.dtype),
+        ),
+        interpret=interpret,
+    )(BpT, CpT, K01_5, K10_5, x04, x14)
+    return y0.reshape(nu, m), y1.reshape(nu, m)
+
+
+def _cross_pair_color(geom, op, k, x0, x1):
+    """Both factored cross applies of color ``k`` on its facet values:
+
+        y0 = (eye2 (x) Ks01[color k] + Bp[k]) x1
+        y1 = (eye2 (x) Ks10[color k] + Cp[k]) x0
+
+    One fused Pallas pass on tiled tables; two flat applies otherwise.
+    """
+    if op.Ks01.ndim == 5:
+        nu = x0.shape[0]
+        block = _table_block(op.Ks01)
+        pb = _pad_bounds(geom, block)
+        m = x0.shape[1]
+        pm = pb[k + 1] - pb[k]
+        if pm != m:
+            x0 = jnp.pad(x0, ((0, 0), (0, pm - m)))
+            x1 = jnp.pad(x1, ((0, 0), (0, pm - m)))
+        reps = pm // block
+        y0, y1 = _cross_pair_pallas(
+            op.Ks01, op.Ks10,
+            jnp.broadcast_to(op.Bp[k][None], (reps, nu, nu)),
+            jnp.broadcast_to(op.Cp[k][None], (reps, nu, nu)),
+            x0, x1, block, offset=pb[k], interpret=_interp(),
+        )
+        return (y0[:, :m], y1[:, :m]) if pm != m else (y0, y1)
+    return (
+        _fact_color_apply(geom, op.Ks01, op.Bp[k], x1, k),
+        _fact_color_apply(geom, op.Ks10, op.Cp[k], x0, k),
+    )
+
+
+def _cross_pair_full(geom, op, u0, u1):
+    """Both FULL-FIELD factored cross applies in one fused pass:
+
+        z0 = (eye2 (x) Ks01 + Bp[color]) u1
+        z1 = (eye2 (x) Ks10 + Cp[color]) u0
+
+    On tiled tables this replaces the two padded _fact_cross_apply launches
+    of the matvec with ONE kernel sharing the operand staging (the per-color
+    pad/unpad relayout of the misaligned non-periodic layout runs once per
+    side instead of being re-staged per table — round-4 advisor, low #4).
+    """
+    if op.Ks01.ndim == 5:
+        nu, m = u0.shape
+        block = _table_block(op.Ks01)
+        pb = _pad_bounds(geom, block)
+        reps = [(pb[k + 1] - pb[k]) // block for k in range(len(pb) - 1)]
+        x0 = _pad_cols(geom, u0, block)
+        x1 = _pad_cols(geom, u1, block)
+        BpT = jnp.concatenate(
+            [
+                jnp.broadcast_to(op.Bp[k][None], (r, nu, nu))
+                for k, r in enumerate(reps)
+                if r > 0
+            ]
+        )
+        CpT = jnp.concatenate(
+            [
+                jnp.broadcast_to(op.Cp[k][None], (r, nu, nu))
+                for k, r in enumerate(reps)
+                if r > 0
+            ]
+        )
+        z0, z1 = _cross_pair_pallas(
+            op.Ks01, op.Ks10, BpT, CpT, x0, x1, block, interpret=_interp()
+        )
+        tail = m - geom.fcol_bounds[-1]
+        return (
+            _unpad_cols(geom, z0, block, tail=tail),
+            _unpad_cols(geom, z1, block, tail=tail),
+        )
+    return (
+        _fact_cross_apply(geom, op.Ks01, op.Bp, u1),
+        _fact_cross_apply(geom, op.Ks10, op.Cp, u0),
+    )
 
 
 def _patch_kernel_factory(d1):
@@ -1004,10 +1187,10 @@ def _matvec_bl(geom, op, ub):
     u0, u1 = _gather_sides_bl(geom, ub)
     if op.Sown is not None:  # factored tables (uniform structured mesh)
         r = _fact_apply(geom, op.Sown, op.Pcell, ub, per="half")
-        z0 = _fact_cross_apply(geom, op.Ks01, op.Bp, u1)
+        z0, z1 = _cross_pair_full(geom, op, u0, u1)
         # boundary positions inside slab-local color rects carry real plus
         # values in u0 but no cross coupling: mask the minus rows
-        z1 = _fact_cross_apply(geom, op.Ks10, op.Cp, u0) * msk
+        z1 = z1 * msk
     else:
         r = _bm(op.D, ub)
         z0 = _bm(op.Bx, u1)  # contribution to plus-cell rows
@@ -1035,7 +1218,7 @@ def _patch_apply_bl(geom, op, rb):
     Sinv = op.Sinv
     if Sinv.ndim == 5:
         nu_, nf_ = rb.shape[0], geom.n_facets
-        Sflat = _unpad_cols(geom, flat_table(Sinv), _fact_block(geom))
+        Sflat = _unpad_cols(geom, flat_table(Sinv), _table_block(op.Sinv))
         tail = nf_ - Sflat.shape[2]
         if tail:  # dropped boundary facets: identity, matching the build
             eye_t = jnp.broadcast_to(
@@ -1101,7 +1284,7 @@ def _patch_color_structured(geom, op, k, rb):
         # tiled tables: the whole patch solve is ONE Pallas kernel pass.
         # The tables live in the padded color layout — pad the residuals
         # to whole tiles, solve at the padded offset, slice back.
-        block = _fact_block(geom)
+        block = _table_block(op.Dinv0)
         pb = _pad_bounds(geom, block)
         m = r0.shape[1]
         pm = pb[k + 1] - pb[k]
@@ -1206,8 +1389,7 @@ def _cross_offcolor(geom, op, k, dz):
         z0 = st.rect_flat(lo_dz, rect)  # plus-side (lower-cell) values
         z1 = st.rect_flat(st.roll2(geom, up_dz, off), rect)  # minus side
         if op.Sown is not None:
-            y0 = _fact_color_apply(geom, op.Ks01, op.Bp[j], z1, j)
-            y1 = _fact_color_apply(geom, op.Ks10, op.Cp[j], z0, j)
+            y0, y1 = _cross_pair_color(geom, op, j, z0, z1)
         else:
             y0 = _bm(op.Bx[:, :, b0:b1], z1)
             y1 = _bm(op.Cx[:, :, b0:b1], z0)

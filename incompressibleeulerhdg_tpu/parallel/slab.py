@@ -46,6 +46,7 @@ from ..ops.projection import BDMProjection
 
 __all__ = [
     "SlabDecomposition",
+    "slab_supported",
     "build_slab_decomposition",
     "scatter_state",
     "make_distributed_step",
@@ -53,6 +54,30 @@ __all__ = [
 ]
 
 AXIS = "slab"
+
+
+def slab_supported(mesh, n_slabs):
+    """Whether the slab decomposition covers this (mesh, n_slabs) pair.
+
+    Mirrors the :class:`SlabDecomposition` constructor checks WITHOUT
+    raising, so callers (hdg_imex.solve, common.slab_context) can fall back
+    to the GSPMD sharding instead of erroring — the reference's MPI
+    decomposition covers every mesh uniformly
+    (/root/reference/src/timesteppers/conforming_implicit.py:86), so an
+    ``--n_devices`` split the slab layout cannot represent (periodic mesh
+    with ``nx % n_devices != 0``, whose wrap halo needs the last local grid
+    row to be physical) must still run, just on the fallback path.
+    """
+    spec = getattr(mesh, "shift_spec", None)
+    if spec is None or n_slabs <= 1:
+        return False
+    nx, periodic = spec[0], spec[2]
+    nxl = -(-nx // n_slabs)
+    if periodic and n_slabs * nxl != nx:
+        return False
+    if nxl * (n_slabs - 1) >= nx:  # an empty trailing slab
+        return False
+    return True
 
 
 class SlabDecomposition:

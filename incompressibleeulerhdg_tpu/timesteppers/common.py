@@ -87,7 +87,13 @@ class IncompressibleEuler(ABC):
         uses index-table gathers the slab-local layout does not carry.
         """
         n = getattr(self, "n_devices", 1)
-        if n <= 1 or with_tracer or self.disc.mesh.shift_spec is None:
+        if n <= 1 or with_tracer:
+            return None
+        from ..parallel.slab import slab_supported
+
+        if not slab_supported(self.disc.mesh, n):
+            # unstructured mesh OR a split the slab layout cannot represent
+            # (periodic with nx % n != 0): GSPMD fallback
             return None
         import jax
 

@@ -782,7 +782,12 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
 
         dec = None
         op_args = (self.geom, self._proj, self._cs, self._gtmg)
-        if self.n_devices > 1 and self.disc.mesh.shift_spec is not None:
+        use_slab = False
+        if self.n_devices > 1:
+            from ..parallel.slab import slab_supported
+
+            use_slab = slab_supported(self.disc.mesh, self.n_devices)
+        if use_slab:
             from ..parallel import slab as _slab
 
             Q_shape, p_shape, lam_shape = Q0.shape, p0.shape, lam0.shape
@@ -798,8 +803,10 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             if q_tracer is not None:
                 q_dist = dec.scatter_cell_field(q_tracer)
         elif self.n_devices > 1:
-            # unstructured meshes: GSPMD cell/facet sharding fallback
-            # (parallel/sharding.py) — same step, sharded operands
+            # unstructured meshes (and slab-unsupported splits, e.g. a
+            # periodic mesh with nx % n_devices != 0): GSPMD cell/facet
+            # sharding fallback (parallel/sharding.py) — same step, sharded
+            # operands
             from ..parallel.sharding import (
                 make_device_mesh,
                 shard_discretisation,

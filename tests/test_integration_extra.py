@@ -73,6 +73,7 @@ def test_shear_layer_periodic_end_to_end():
     assert divergence_norm(disc.geom, Q) < 5e-2
 
 
+@pytest.mark.slow
 def test_imex_tracer_advects_with_cg_projected_velocity(monkeypatch):
     """The IMEX tracer stages use the CG-projected stage velocity
     (project_onto_cg=True parity, reference hdg_imex.py:426-431 /
@@ -190,6 +191,7 @@ def test_checkpoint_resume_non_imex(tmp_path, family):
         )
 
 
+@pytest.mark.slow
 def test_disk_mesh_iteration_growth_bounded():
     """GTMG-preconditioned pressure iterations grow slowly under refinement
     of the unstructured disk mesh (round-1 verdict: mesh-independence on
