@@ -213,13 +213,11 @@ def _cells_from_facets(geom, lam):
 def trace_matvec(geom, cs, lam):
     """Condensed trace operator: (nt, nf) -> (nt, nf), batch-last blocks."""
     lam_c = _cells_from_facets(geom, lam)  # (3nt, nc)
-    # unrolled over the small block index: the einsum form lowers through a
-    # batch-minor dot_general that relayouts the (9, 9, nc) table — measured
-    # 149 GB/s effective at 512^2 (tools/microbench_gtmg.py, round 5) vs
-    # lane-parallel FMAs on contiguous (nc,) rows
-    y_c = 0.0
-    for j in range(cs.S.shape[1]):
-        y_c = y_c + cs.S[:, j, :] * lam_c[j][None, :]
+    # einsum, NOT an unrolled FMA loop: measured head-to-head at 512^2
+    # (tools/microbench_bm.py, round 5) the einsum form runs 0.90 ms vs
+    # 2.03 ms unrolled on (9, 9, nc) — XLA's multiply-reduce fusion wins
+    # for small batch-last blocks
+    y_c = jnp.einsum("ijc,jc->ic", cs.S, lam_c)
     return _facets_from_cells(geom, y_c)
 
 

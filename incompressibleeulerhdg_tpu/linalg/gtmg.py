@@ -704,14 +704,9 @@ def gtmg_apply(geom, cs, pc, r_flat):
     def Dinv(v):
         if pc.star_inv is not None:
             return _star_apply(pc, v)  # built from sign*S: A^{-1}-approx already
-        # unrolled over the tiny block index: the (nt, nt, nf) einsum lowers
-        # through a batch-minor dot_general that relayouts the operands —
-        # measured 49 GB/s effective at 512^2 (tools/microbench_gtmg.py,
-        # round 5) vs lane-parallel FMAs on contiguous (nf,) rows
-        out = 0.0
-        for j in range(cs.nt):
-            out = out + cs.Sdiag_inv[:, j, :] * v[j][None, :]
-        return pc.sign * out
+        # einsum, not an unrolled loop: measured tie at (3,3,nf) and a 2x
+        # einsum win at (9,9,nc) — tools/microbench_bm.py, round 5
+        return pc.sign * jnp.einsum("ijf,jf->if", cs.Sdiag_inv, v)
 
     # pre-smooth
     z = _chebyshev(A, Dinv, r, pc.cheb_fine, pc.lmax_fine)

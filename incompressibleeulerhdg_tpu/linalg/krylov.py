@@ -51,6 +51,58 @@ def _identity(v):
     return v
 
 
+# rows per chunk of the chunked-conditional Gram-Schmidt products below; 8
+# keeps the lax.cond count small while skipping ~2/3 of the basis traffic at
+# the observed iteration counts
+_GS_CHUNK = 8
+
+
+def _masked_basis_dot(V, w, j, mask, axis_name):
+    """h = (V @ w) * mask without streaming INACTIVE basis rows.
+
+    The masked dense product reads all (m+1, n) rows of V every Arnoldi
+    step although only rows 0..j are live — at 512^2 k=2 that is ~1.2 GB
+    per read at restart 28 versus an average ~9 live rows.  Chunks of
+    ``_GS_CHUNK`` rows are computed under ``lax.cond`` (a real branch
+    inside the while_loop, unlike ``where`` which executes both sides), so
+    chunks beyond j are skipped entirely; their h entries are the exact
+    zeros the mask would have produced (V rows > j+1 are zero-initialised
+    and never read).
+    """
+    m1 = V.shape[0]
+    dtype = V.dtype
+    parts = []
+    for lo in range(0, m1, _GS_CHUNK):
+        hi = min(lo + _GS_CHUNK, m1)
+        Vc = V[lo:hi]
+        parts.append(
+            lax.cond(
+                j >= lo,
+                lambda Vc=Vc: Vc @ w,
+                lambda hi=hi, lo=lo: jnp.zeros((hi - lo,), dtype),
+            )
+        )
+    h = jnp.concatenate(parts)
+    if axis_name is not None:
+        h = lax.psum(h, axis_name)
+    return h * mask
+
+
+def _masked_basis_axpy(V, h, j, w):
+    """w - V.T @ h, skipping chunks whose h entries are (exact) zeros."""
+    m1 = V.shape[0]
+    acc = w
+    for lo in range(0, m1, _GS_CHUNK):
+        hi = min(lo + _GS_CHUNK, m1)
+        Vc = V[lo:hi]
+        acc = lax.cond(
+            j >= lo,
+            lambda acc=acc, Vc=Vc, lo=lo, hi=hi: acc - Vc.T @ h[lo:hi],
+            lambda acc=acc: acc,
+        )
+    return acc
+
+
 def gmres(
     matvec,
     b,
@@ -110,11 +162,8 @@ def gmres(
             # modified Gram-Schmidt as masked dense products (the V @ w
             # basis dots are global reductions when distributed)
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = V @ w
-            if axis_name is not None:
-                h = lax.psum(h, axis_name)
-            h = h * mask
-            w = w - V.T @ h
+            h = _masked_basis_dot(V, w, j, mask, axis_name)
+            w = _masked_basis_axpy(V, h, j, w)
             hnext = _pnorm(w, axis_name)
             V = V.at[j + 1].set(w / jnp.maximum(hnext, tiny))
             h = h.at[j + 1].set(hnext)
@@ -250,11 +299,8 @@ def gmres_right(
             z, w = opM(V[j])
             Zb = Zb.at[j].set(z)
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = V @ w
-            if axis_name is not None:
-                h = lax.psum(h, axis_name)
-            h = h * mask
-            w = w - V.T @ h
+            h = _masked_basis_dot(V, w, j, mask, axis_name)
+            w = _masked_basis_axpy(V, h, j, w)
             hnext = _pnorm(w, axis_name)
             V = V.at[j + 1].set(w / jnp.maximum(hnext, tiny))
             h = h.at[j + 1].set(hnext)
@@ -380,11 +426,8 @@ def fgmres(
             w = project(matvec(z))
             Zb = Zb.at[j].set(z)
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = V @ w
-            if axis_name is not None:
-                h = lax.psum(h, axis_name)
-            h = h * mask
-            w = w - V.T @ h
+            h = _masked_basis_dot(V, w, j, mask, axis_name)
+            w = _masked_basis_axpy(V, h, j, w)
             hnext = _pnorm(w, axis_name)
             V = V.at[j + 1].set(w / jnp.maximum(hnext, tiny))
             h = h.at[j + 1].set(hnext)

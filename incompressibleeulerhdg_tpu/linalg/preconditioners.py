@@ -135,12 +135,7 @@ def trace_block_jacobi(cs):
 
     def M(v):
         lam = v.reshape(nt, -1)
-        # unrolled tiny-block FMAs (the einsum form relayouts batch-major:
-        # 49 GB/s measured at 512^2, tools/microbench_gtmg.py round 5)
-        out = 0.0
-        for j in range(nt):
-            out = out + cs.Sdiag_inv[:, j, :] * lam[j][None, :]
-        return out.ravel()
+        return jnp.einsum("ijf,jf->if", cs.Sdiag_inv, lam).ravel()
 
     return M
 
@@ -341,7 +336,24 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
         )
         D5 = jnp.einsum("ab,ijc->aibjc", eye2, S_own) + pen5
         D_bl = D5.reshape(nu, nu, nc)
-    Dinv_bl = gauss_jordan_inv_bl(D_bl)
+    # Pallas-tiled tables only ever read LOWER-half cell inverses (the color
+    # rects' plus cells; the boundary tail is dropped from the padded
+    # layout), and the in-place Gauss-Jordan is the compute-bound piece of
+    # the stage build — invert half the cells there.  Every other path
+    # (flat structured f64 incl. its upper-cell boundary tail, unstructured)
+    # keeps the full-cell inverse.
+    use_pallas_early = (
+        factored
+        and geom.shift is not None
+        and _fact_block(geom) is not None
+        and dtype == jnp.float32
+    )
+    if use_pallas_early:
+        nch_gj = geom.shift[0] * geom.shift[1]
+        Dinv_bl = None
+        Dinv_lo_only = gauss_jordan_inv_bl(D_bl[:, :, :nch_gj])
+    else:
+        Dinv_bl = gauss_jordan_inv_bl(D_bl)
 
     # ------------------------------------------------------------------
     # cross blocks Bx = -c K01 (plus rows, minus cols), Cx = -c K10
@@ -430,7 +442,12 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
         from ..ops import structured as st
 
         Dup = st.grid_halves(geom, D_bl)[1]
-        Dinv_lo = st.grid_halves(geom, Dinv_bl)[0]
+        if Dinv_bl is None:  # tiled path: lower-half-only inverse
+            Dinv_lo = Dinv_lo_only.reshape(
+                nu, nu, geom.shift[0], geom.shift[1]
+            )
+        else:
+            Dinv_lo = st.grid_halves(geom, Dinv_bl)[0]
         Sinv_parts, Dinv0_parts = [], []
         for k, (l, lu, i0, j0, ni, nj, off) in enumerate(geom.shift[4]):
             rect = (i0, j0, ni, nj)
@@ -482,7 +499,9 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
                 D=None,
                 Bx=None,
                 Cx=None,
-                Dinv=Dinv_bl,
+                # full-cell inverses are never read through tiled tables
+                # (diagnostics reconstruct from Dinv0, _patch_apply_bl)
+                Dinv=None,
                 Sinv=tt(cat_pad(Sinv_parts)),
                 Dinv0=tt(cat_pad(Dinv0_parts)),
                 Sown=tt(S_own),
@@ -1210,11 +1229,16 @@ def _patch_apply_bl(geom, op, rb):
     r0, r1 = _gather_sides_bl(geom, rb)
     Dinv0 = op.Dinv0
     if Dinv0 is None or Dinv0.ndim == 5:
-        # diagnostic path only: reconstruct the full-facet flat layout from
-        # op.Dinv (the hot colored sweep consumes the tiled tables directly)
+        # diagnostic path only: reconstruct the full-facet flat layout (the
+        # hot colored sweep consumes the tiled tables directly).  Tiled ops
+        # carry no full-cell Dinv (lower-half-only build) — re-invert the
+        # reconstructed dense own-cell blocks.
         from ..ops.structured import gather_plus
 
-        Dinv0 = gather_plus(geom, op.Dinv)
+        Dinv_full = op.Dinv
+        if Dinv_full is None:
+            Dinv_full = gauss_jordan_inv_bl(dense_blocks(geom, op)[0])
+        Dinv0 = gather_plus(geom, Dinv_full)
     Sinv = op.Sinv
     if Sinv.ndim == 5:
         nu_, nf_ = rb.shape[0], geom.n_facets

@@ -23,23 +23,28 @@ def _gj_pallas_kernel_factory(n):
     read from HBM once and written once — the fori_loop XLA version streams
     the whole (n, n, m) array from HBM on every one of the n pivot steps
     (~2n x the traffic; 50 GB against 2.5 GB at 512^2 k=2).
+
+    The pivot row/column fix-ups use STATIC indexed stores into the output
+    ref instead of full-array masked selects: the select form paid 3 full
+    (n, n, B) passes per pivot (1 FMA + 2 where) — the kernel is VPU
+    compute-bound, so the round-4 build spent most of its time here
+    (round-5 rework; the rank-1 update is the only irreducible full pass).
     """
 
     def kernel(a_ref, o_ref):
-        A = a_ref[:]
-        # static-k row/column updates as masked selects (Mosaic has no
-        # scatter lowering; the masks are compile-time iota comparisons)
+        o_ref[:] = a_ref[:]
         idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
         for k in range(n):
-            mk = idx == k  # (n, 1)
-            pivot = A[k]  # (n, B)
-            inv_p = 1.0 / pivot[k]  # (B,)
-            row_k = jnp.where(mk, inv_p[None, :], pivot * inv_p[None, :])
-            f = jnp.where(mk, 0.0, A[:, k, :])
-            A = A - f[:, None, :] * row_k[None, :, :]
-            A = jnp.where(mk[None, :, :], (-f * inv_p[None, :])[:, None, :], A)
-            A = jnp.where(mk[:, :, None], row_k[None, :, :], A)
-        o_ref[:] = A
+            pivot_row = o_ref[k]  # (n, B)
+            inv_p = 1.0 / pivot_row[k]  # (B,)
+            row_k = pivot_row * inv_p[None, :]  # normalized pivot row
+            f = jnp.where(idx == k, 0.0, o_ref[:, k, :])  # (n, B), zero at k
+            # rank-1 elimination (row k: f_k = 0 leaves it unchanged)
+            o_ref[:] = o_ref[:] - f[:, None, :] * row_k[None, :, :]
+            # column k of the in-place inverse ...
+            o_ref[:, k, :] = -f * inv_p[None, :]
+            # ... and row k (entry k = 1/p overwrites the column write)
+            o_ref[k] = jnp.where(idx == k, inv_p[None, :], row_k)
 
     return kernel
 

@@ -33,7 +33,6 @@ from .tableaus import TABLEAUS, unroll_residual_coefficients
 from ..ops import fields as F
 from ..ops.forms import (
     star_fields,
-    f_impl_apply,
     pressure_gradient_apply,
     weak_divergence_apply,
     reconstruct_trace_rhs,
@@ -254,16 +253,17 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         def sweep(geom, cs, pc, star, op, r_i, Q_i, p_i, lam_i, c):
             """One Richardson iteration (hdg_imex.py:568-599): tentative
             GMRES solve -> condensed-trace pressure solve -> increment."""
+            from ..linalg.preconditioners import tentative_operator_matvec
+
             precond = lambda v: gtmg_apply(geom, cs, pc, v)
-            # tentative rhs (hdg_imex.py:239-247)
+            # tentative rhs (hdg_imex.py:239-247): M Q_i - c f_impl(Q_i) is
+            # exactly the assembled tentative operator (parity-tested to
+            # 1e-11, tests/test_structured.py) — one block matvec instead
+            # of re-deriving the weak form from tabulations per sweep
             b_tent = (
                 r_i
-                - F.mass_apply(geom, geom.m1, Q_i)
-                + c
-                * (
-                    f_impl_apply(geom, star, Q_i, pen, upwind)
-                    + pressure_gradient_apply(geom, p_i, lam_i)
-                )
+                - tentative_operator_matvec(geom, op, Q_i)
+                + c * pressure_gradient_apply(geom, p_i, lam_i)
             )
             dQt, n_t, rr_t = tentative_solve(
                 geom, star, b_tent, c, alpha=pen, upwind=upwind, rtol=rtol_t,

@@ -171,3 +171,47 @@ def test_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+@needs_multidevice
+def test_conforming_sharded_collective_audit():
+    """Collective audit of the conforming RT1xDG0 scheme's GSPMD fallback —
+    the one scheme family without a slab route (its RT assembly uses
+    index-table gathers the slab-local layout does not carry,
+    timesteppers/common.py:slab_context).  The audit bounds what the
+    fallback costs: the compiled step's collective COUNT is static (the CG
+    loops compile once), and the largest all-gather operand is facet-sized,
+    so per-iteration traffic stays O(nf) per device — measured numbers
+    recorded in docs/ARCHITECTURE.md (round-5; the reference distributes
+    this scheme under MPI, conforming_implicit.py:86)."""
+    import re
+    from incompressibleeulerhdg_tpu.models.problems import TaylorGreen
+    from incompressibleeulerhdg_tpu.timesteppers.conforming_implicit import (
+        IncompressibleEulerConformingImplicit,
+    )
+    from incompressibleeulerhdg_tpu.ops import rt as RT
+
+    disc = HDGDiscretisation(unit_square_mesh(16), 0)
+    stepper = IncompressibleEulerConformingImplicit(disc, 0.05, "upwind", True)
+    problem = TaylorGreen(disc)
+    rt = stepper._rt
+    Q = RT.rt_interpolate(disc, rt, problem.initial_condition()[0])
+    Q = Q * rt.int_dof_mask
+    p = jnp.zeros(disc.geom.n_cells, disc.dtype)
+    f_dofs = jnp.zeros_like(Q)
+
+    mesh = make_device_mesh(8)
+    geom_sh, rt_sh = shard_discretisation(disc, mesh, rt)
+    nc, nf = disc.geom.n_cells, disc.geom.n_facets
+    Q_sh, p_sh, f_sh = shard_pytree((Q, p, f_dofs), mesh, nc, nf)
+    step = jax.jit(stepper._make_step())
+    with mesh:
+        hlo = step.lower(geom_sh, rt_sh, Q_sh, p_sh, f_sh).compile().as_text()
+    counts = {
+        name: len(re.findall(rf"\b{name}\b", hlo))
+        for name in ("all-gather", "all-reduce", "collective-permute", "all-to-all")
+    }
+    assert counts["all-reduce"] > 0, counts  # genuinely distributed
+    # regression bound on the static collective count (see docstring);
+    # measured at this config: see docs/ARCHITECTURE.md
+    assert counts["all-gather"] < 800, counts
