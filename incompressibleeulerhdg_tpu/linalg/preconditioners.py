@@ -207,8 +207,19 @@ def _bmm(A, B):
     return out
 
 
-def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=None):
+def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=None,
+                             reuse_factors=None):
     """Assemble blocks + facet-pair Schwarz factors per stage, batch-last.
+
+    :arg reuse_factors: a previously built :class:`TentativeOperator` whose
+        PRECONDITIONER factors (Dinv/Dinv0/Sinv) are reused instead of
+        refactorised — the lagged-preconditioner mode (IEHDG_LAG_PC): the
+        MATVEC tables are always rebuilt fresh from ``star`` (they define
+        the operator, hence the converged solutions), so lagging can only
+        move iteration counts, never results.  The factorisation is the
+        compute-bound part of the build (round-5 profile: ~160 of ~240 ms
+        at 512^2), and consecutive IMEX stages differ only by an O(dt)
+        change of the advecting field.
 
     The 2x2 cell-block patch  [[D_plus, -c K01], [-c K10, D_minus]]  is
     factorised in block-Schur form: per-cell D^{-1} (shared by the patches
@@ -318,17 +329,20 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
             Pcell_parts.append(Ph.reshape(nu, nu))
         Pcell = jnp.stack(Pcell_parts)  # (2, nu, nu)
         nch = geom.shift[0] * geom.shift[1]
-        pen_cells = jnp.concatenate(
-            [
-                jnp.broadcast_to(Pcell[0][:, :, None], (nu, nu, nch)),
-                jnp.broadcast_to(Pcell[1][:, :, None], (nu, nu, nc - nch)),
-            ],
-            axis=2,
-        )
-        D_bl = (
-            jnp.einsum("ab,ijc->aibjc", eye2, S_own).reshape(nu, nu, nc)
-            + pen_cells
-        )
+        if reuse_factors is not None:
+            D_bl = None  # factored matvec never reads D; factors reused
+        else:
+            pen_cells = jnp.concatenate(
+                [
+                    jnp.broadcast_to(Pcell[0][:, :, None], (nu, nu, nch)),
+                    jnp.broadcast_to(Pcell[1][:, :, None], (nu, nu, nc - nch)),
+                ],
+                axis=2,
+            )
+            D_bl = (
+                jnp.einsum("ab,ijc->aibjc", eye2, S_own).reshape(nu, nu, nc)
+                + pen_cells
+            )
     else:
         pen5 = sum(
             Pt[t][None, :, None, :, None] * NNt[t][:, None, :, None, :]
@@ -348,7 +362,9 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
         and _fact_block(geom) is not None
         and dtype == jnp.float32
     )
-    if use_pallas_early:
+    if reuse_factors is not None:
+        Dinv_bl = None  # reused from reuse_factors (early return below)
+    elif use_pallas_early:
         nch_gj = geom.shift[0] * geom.shift[1]
         Dinv_bl = None
         Dinv_lo_only = gauss_jordan_inv_bl(D_bl[:, :, :nch_gj])
@@ -425,6 +441,33 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
         # multi-consumer tables: materialise so XLA does not refuse
         # (= recompute) their producer chains into every consumer
         Bx, Cx = jax.lax.optimization_barrier((Bx, Cx))
+
+    if reuse_factors is not None:
+        # lagged preconditioner: fresh matvec tables + reused factors (the
+        # factor layout — tiled/flat/dense — carries over unchanged)
+        rf = reuse_factors
+        if factored and rf.Ks01 is not None and rf.Ks01.ndim == 5:
+            blk = _table_block(rf.Ks01)
+            tt = lambda T: tile_table(T, blk)
+            return TentativeOperator(
+                D=None, Bx=None, Cx=None,
+                Dinv=rf.Dinv, Sinv=rf.Sinv, Dinv0=rf.Dinv0,
+                Sown=tt(S_own), Pcell=Pcell,
+                Ks01=tt(_pad_cols(geom, K01s, blk)),
+                Ks10=tt(_pad_cols(geom, K10s, blk)),
+                Bp=Bp, Cp=Cp,
+            )
+        if factored:
+            return TentativeOperator(
+                D=None, Bx=None, Cx=None,
+                Dinv=rf.Dinv, Sinv=rf.Sinv, Dinv0=rf.Dinv0,
+                Sown=S_own, Pcell=Pcell, Ks01=K01s, Ks10=K10s,
+                Bp=Bp, Cp=Cp,
+            )
+        return TentativeOperator(
+            D=D_bl, Bx=Bx, Cx=Cx,
+            Dinv=rf.Dinv, Sinv=rf.Sinv, Dinv0=rf.Dinv0,
+        )
 
     # ------------------------------------------------------------------
     # patch Schur factors  S = D_minus - Cx Dinv_plus Bx

@@ -33,6 +33,7 @@ from .tableaus import TABLEAUS, unroll_residual_coefficients
 from ..ops import fields as F
 from ..ops.forms import (
     star_fields,
+    f_impl_apply,
     pressure_gradient_apply,
     weak_divergence_apply,
     reconstruct_trace_rhs,
@@ -141,9 +142,15 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
     # jitted phases instead of one fused program: the fused step's XLA buffer
     # assignment needs ~13 GB at 512^2 k=2 and crashes the 16 GB chip at
     # runtime, while every individual phase fits comfortably (~9 GB peak).
-    # Overridable per instance (composite_step_cells attribute) so the test
-    # suite can exercise the composite path on small meshes.
-    COMPOSITE_STEP_CELLS = 300_000
+    # The threshold is a measured COMPILE-TIME decision as well (round 5,
+    # tools/compare_step_paths.py at 256^2 k=2 f32 on the v5e): composite
+    # 0.647 s/step / 128.6 s cold warmup vs fused 0.648 s/step / 182.3 s —
+    # identical step time, ~54 s less cold compile, so 256^2 (131k cells)
+    # takes the composite path.  Small meshes keep the fused step (the
+    # composite host loop pays ~15 dispatches/step, material when a step is
+    # milliseconds).  Overridable per instance (composite_step_cells
+    # attribute) so the test suite can exercise both paths on small meshes.
+    COMPOSITE_STEP_CELLS = 100_000
 
     def _get_step(self, f_rhs_fn, with_tracer):
         threshold = getattr(self, "composite_step_cells", None)
@@ -240,6 +247,17 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             op = build_tentative_operator(geom, star, c, pen, upwind, pc_dtype=pc_dtype)
             return star, op
 
+        def star_build_reuse(geom, proj, Q_prev, c, rf):
+            """Lagged-preconditioner stage build (IEHDG_LAG_PC): fresh
+            matvec tables, Schwarz factors reused from the previous stage's
+            operator ``rf`` (preconditioner-only — results unchanged)."""
+            star = star_of(geom, proj, Q_prev)
+            op = build_tentative_operator(
+                geom, star, c, pen, upwind, pc_dtype=pc_dtype,
+                reuse_factors=rf,
+            )
+            return star, op
+
         def residual(geom, SQ, b_all, alpha_row, beta_row):
             """Unrolled stage residual r_i (hdg_imex.py:367-391); mass is
             linear so one application covers the whole weighted sum."""
@@ -253,17 +271,21 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
         def sweep(geom, cs, pc, star, op, r_i, Q_i, p_i, lam_i, c):
             """One Richardson iteration (hdg_imex.py:568-599): tentative
             GMRES solve -> condensed-trace pressure solve -> increment."""
-            from ..linalg.preconditioners import tentative_operator_matvec
-
             precond = lambda v: gtmg_apply(geom, cs, pc, v)
-            # tentative rhs (hdg_imex.py:239-247): M Q_i - c f_impl(Q_i) is
-            # exactly the assembled tentative operator (parity-tested to
-            # 1e-11, tests/test_structured.py) — one block matvec instead
-            # of re-deriving the weak form from tabulations per sweep
+            # tentative rhs (hdg_imex.py:239-247).  NOTE: this must stay the
+            # WEAK-FORM application, not the assembled-operator matvec — the
+            # two agree to f64 parity but differ by f32 assembly rounding,
+            # and the rhs defines the Richardson fixed point: substituting
+            # the assembled matvec lifted the 512^2 f32 velocity error
+            # 1.4e-6 -> 4.5e-5 (round-5 measurement) for a ~1% step saving
             b_tent = (
                 r_i
-                - tentative_operator_matvec(geom, op, Q_i)
-                + c * pressure_gradient_apply(geom, p_i, lam_i)
+                - F.mass_apply(geom, geom.m1, Q_i)
+                + c
+                * (
+                    f_impl_apply(geom, star, Q_i, pen, upwind)
+                    + pressure_gradient_apply(geom, p_i, lam_i)
+                )
             )
             dQt, n_t, rr_t = tentative_solve(
                 geom, star, b_tent, c, alpha=pen, upwind=upwind, rtol=rtol_t,
@@ -351,6 +373,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             forcing=forcing,
             star_of=star_of,
             star_build=star_build,
+            star_build_reuse=star_build_reuse,
             residual=residual,
             sweep=sweep,
             final=final,
@@ -530,6 +553,12 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
 
         j_forcing = jax.jit(ph.forcing)
         j_star_build = jax.jit(ph.star_build)
+        # lagged preconditioner (IEHDG_LAG_PC=1): stages after the first
+        # reuse the previous stage's Schwarz factors — the factorisation is
+        # the compute-bound ~2/3 of the build (BASELINE.md round 5); the
+        # matvec tables stay fresh so only iteration counts can move
+        lag_pc = _os.environ.get("IEHDG_LAG_PC", "0") == "1"
+        j_star_build_reuse = jax.jit(ph.star_build_reuse)
         j_residual = jax.jit(
             lambda geom, stage_Q, b_all, ar, br: ph.residual(
                 geom, jnp.stack(stage_Q), b_all, ar, br
@@ -582,11 +611,20 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                 else None
             )
             its_tent, its_p, relres = [], [], []
+            op_prev = None
             for i in range(1, s):
                 c = jnp.asarray(a_impl[i][i] * dt, dtype=out_dtype)
-                star, op = mark(
-                    "star+build", j_star_build(geom, proj, stage_Q[i - 1], c)
-                )
+                if lag_pc and projection and op_prev is not None:
+                    star, op = mark(
+                        "star+build",
+                        j_star_build_reuse(
+                            geom, proj, stage_Q[i - 1], c, op_prev
+                        ),
+                    )
+                else:
+                    star, op = mark(
+                        "star+build", j_star_build(geom, proj, stage_Q[i - 1], c)
+                    )
                 r_i = mark(
                     "residual", j_residual(geom, tuple(stage_Q), b_all, alpha[i], beta[i])
                 )
@@ -619,6 +657,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     its_tent.append(n_m)
                     its_p.append(n_m)
                     relres.append(jnp.asarray(rr_m, out_dtype))
+                op_prev = op if lag_pc else None
                 del op, star
                 p_i, lam_i = j_shift(geom, p_i, lam_i)
                 stage_Q[i], stage_p[i], stage_lam[i] = Q_i, p_i, lam_i

@@ -308,3 +308,31 @@ def test_composite_step_monolithic():
         )
     )
     assert err < 5e-3, err
+
+
+def test_lagged_preconditioner_matches(monkeypatch):
+    """IEHDG_LAG_PC=1 (composite step): stages after the first reuse the
+    previous stage's Schwarz factors.  Preconditioner-only — the matvec
+    tables and right-hand sides stay fresh — so the stepped states must
+    match the default path to solver tolerance, with iteration counts free
+    to differ slightly."""
+    import numpy as np
+    from incompressibleeulerhdg_tpu.models.problems import TaylorGreen
+
+    def run(lag):
+        if lag:
+            monkeypatch.setenv("IEHDG_LAG_PC", "1")
+        else:
+            monkeypatch.delenv("IEHDG_LAG_PC", raising=False)
+        disc = HDGDiscretisation(unit_square_mesh(8), 1)
+        stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+        stepper.composite_step_cells = 1  # force the composite path
+        problem = TaylorGreen(disc)
+        Q0e, p0e = problem.initial_condition()
+        Q, p = stepper.solve(Q0e, p0e, None, problem.f_rhs(), 0.3)
+        return np.asarray(Q), np.asarray(p)
+
+    Q_ref, p_ref = run(False)
+    Q_lag, p_lag = run(True)
+    assert np.abs(Q_lag - Q_ref).max() < 1e-8
+    assert np.abs(p_lag - p_ref).max() < 1e-8

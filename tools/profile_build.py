@@ -96,7 +96,9 @@ def schur_color(D, Dinv, Bx, Cx):
 
 
 j_schur = jax.jit(schur_color)
-timeit("one color Schur+inv", j_schur, op_D, op.Dinv, op_Bx, op_Cx)
+# tiled ops store no full-cell Dinv (round-5 lower-half build): recompute
+Dinv_full = op.Dinv if op.Dinv is not None else jax.jit(gauss_jordan_inv_bl)(op_D)
+timeit("one color Schur+inv", j_schur, op_D, Dinv_full, op_Bx, op_Cx)
 
 j_bmm = jax.jit(lambda A, B: P._bmm(A, B))
 timeit("one _bmm (nu,nu,nf/3)", j_bmm, op_Bx[:, :, b0:b1], op_Cx[:, :, b0:b1])
