@@ -218,8 +218,13 @@ def build_tentative_operator(geom, star, c, alpha=1.0, upwind=True, pc_dtype=Non
         the operator, hence the converged solutions), so lagging can only
         move iteration counts, never results.  The factorisation is the
         compute-bound part of the build (round-5 profile: ~160 of ~240 ms
-        at 512^2), and consecutive IMEX stages differ only by an O(dt)
-        change of the advecting field.
+        at 512^2).  CAVEAT (round-5 measurement): reuse is only effective
+        between builds with the SAME implicit coefficient ``c`` — the
+        dominant penalty block scales with c, so factors for a different c
+        precondition poorly (SSP2(3,3,2) has a_ii = 1/4, 1/4, 1/3: lagging
+        stage-1 factors into stage 2 ballooned tentative iterations
+        16 -> 112 at 512^2 f32).  The composite step therefore only reuses
+        between stages whose a_ii match.
 
     The 2x2 cell-block patch  [[D_plus, -c K01], [-c K10, D_minus]]  is
     factorised in block-Schur form: per-cell D^{-1} (shared by the patches

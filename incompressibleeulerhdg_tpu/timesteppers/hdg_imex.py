@@ -612,9 +612,14 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
             )
             its_tent, its_p, relres = [], [], []
             op_prev = None
+            c_prev = None
             for i in range(1, s):
                 c = jnp.asarray(a_impl[i][i] * dt, dtype=out_dtype)
-                if lag_pc and projection and op_prev is not None:
+                # factors only transfer between stages with the SAME a_ii:
+                # the dominant penalty block scales with c (see
+                # build_tentative_operator's reuse_factors caveat)
+                same_c = c_prev is not None and a_impl[i][i] == c_prev
+                if lag_pc and projection and op_prev is not None and same_c:
                     star, op = mark(
                         "star+build",
                         j_star_build_reuse(
@@ -658,6 +663,7 @@ class IncompressibleEulerHDGIMEX(IncompressibleEuler):
                     its_p.append(n_m)
                     relres.append(jnp.asarray(rr_m, out_dtype))
                 op_prev = op if lag_pc else None
+                c_prev = a_impl[i][i]
                 del op, star
                 p_i, lam_i = j_shift(geom, p_i, lam_i)
                 stage_Q[i], stage_p[i], stage_lam[i] = Q_i, p_i, lam_i

@@ -109,6 +109,7 @@ def test_imex_tracer_advects_with_cg_projected_velocity(monkeypatch):
     assert len(calls) >= 2, len(calls)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_roundtrip(tmp_path):
     """Interrupt at step k via checkpointing, resume, and land on exactly the
     state of an uninterrupted run (VERDICT round 1, item 10)."""
@@ -140,6 +141,7 @@ def test_checkpoint_resume_roundtrip(tmp_path):
 
 
 @pytest.mark.parametrize("family", ["hdg_implicit", "dg_implicit", "conforming"])
+@pytest.mark.slow
 def test_checkpoint_resume_non_imex(tmp_path, family):
     """Checkpoint/resume for the non-IMEX scheme families (VERDICT round 2,
     item 10: extend checkpoint/resume beyond HDG IMEX).  Interrupt at step

@@ -49,6 +49,7 @@ def test_sharded_operators_match_single_device():
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_sharded_imex_solve_matches_single_device():
     """Full Taylor-Green IMEX steps on the 8-device mesh reproduce the
     single-device solution (VERDICT round 1, item 6): the halo exchanges
@@ -163,6 +164,7 @@ def test_sharded_step_collective_audit():
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_dryrun_multichip():
     """The full IMEX step compiles and runs over an 8-device mesh."""
     import sys, os

@@ -49,6 +49,7 @@ def _setup(nx=8, degree=1, dt=0.1):
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_slab_step_matches_single_device():
     disc, stepper, problem, sQ, sp, sl = _setup()
     dt = stepper._dt
@@ -98,6 +99,7 @@ def test_slab_step_matches_single_device():
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_slab_step_matches_single_device_uneven():
     """Uneven decomposition (nx % n_slabs != 0, round-4 extension: the
     round-3 restriction `nx % n_devices == 0` is gone): nx=8 over 3 slabs
@@ -199,6 +201,7 @@ def test_slab_memory_is_partitioned():
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_driver_n_devices_cli(tmp_path, monkeypatch, capsys):
     """The --n_devices driver flag runs the slab-decomposed solve end to end
     (the user-facing analogue of the reference's transparent mpiexec -n) and
@@ -222,6 +225,7 @@ def test_driver_n_devices_cli(tmp_path, monkeypatch, capsys):
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_n_devices_dg_implicit_slab():
     """The DG implicit scheme's --n_devices runs route through the SLAB
     halo-exchange decomposition on structured meshes (round-4 extension of
@@ -307,6 +311,7 @@ def test_simple_slab_collective_audit():
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_slab_step_matches_single_device_periodic():
     """Periodic-mesh slab decomposition: the wrap seams travel through the
     circular ppermute halos and the extended GTMG vertex canvas; the
@@ -418,6 +423,7 @@ def test_n_devices_gspmd_fallback_on_disk_mesh():
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_n_devices_gspmd_tracer():
     """Tracer advection composes with the GSPMD fallback (sharded cell
     fields, replicated CG projection operators)."""
@@ -593,6 +599,7 @@ def test_slab_supported_predicate():
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_n_devices_periodic_uneven_falls_back_to_gspmd():
     """A periodic mesh with nx % n_devices != 0 cannot take the slab layout
     (the wrap halo needs the last local grid row to be physical) — it must
@@ -618,6 +625,7 @@ def test_n_devices_periodic_uneven_falls_back_to_gspmd():
 
 
 @needs_multidevice
+@pytest.mark.slow
 def test_slab_monolithic_imex_matches_single_device():
     """The DISTRIBUTED monolithic IMEX combination (n_devices > 1,
     use_projection_method=False): make_distributed_step wraps the same

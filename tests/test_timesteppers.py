@@ -232,6 +232,7 @@ def test_float32_fast_path():
     assert abs(e32 - e64) < 1e-4 + 0.05 * e64, (e32, e64)
 
 
+@pytest.mark.slow
 def test_composite_step_matches_fused():
     """The host-composed large-mesh step (_make_step_composite) must be
     numerically identical to the fused step — both are built from the same
@@ -266,6 +267,7 @@ def test_composite_step_matches_fused():
         assert np.allclose(pf, pc, atol=1e-13), np.abs(pf - pc).max()
 
 
+@pytest.mark.slow
 def test_composite_step_monolithic():
     """The MONOLITHIC branch above the composite-step threshold (host FGMRES
     over jitted phases, linalg/monolithic.py:host_fgmres) — the round-3
@@ -311,13 +313,18 @@ def test_composite_step_monolithic():
 
 
 def test_lagged_preconditioner_matches(monkeypatch):
-    """IEHDG_LAG_PC=1 (composite step): stages after the first reuse the
-    previous stage's Schwarz factors.  Preconditioner-only — the matvec
-    tables and right-hand sides stay fresh — so the stepped states must
-    match the default path to solver tolerance, with iteration counts free
-    to differ slightly."""
+    """IEHDG_LAG_PC=1 (composite step): stages whose implicit coefficient
+    matches the previous stage's reuse its Schwarz factors (ARS2(2,3,2)
+    here — both implicit stages share a_ii = gamma; SSP2's diag differs so
+    the flagship never lags).  Preconditioner-only — the matvec tables and
+    right-hand sides stay fresh — so the stepped states must match the
+    default path to solver tolerance, with iteration counts free to
+    differ slightly."""
     import numpy as np
     from incompressibleeulerhdg_tpu.models.problems import TaylorGreen
+    from incompressibleeulerhdg_tpu.timesteppers.hdg_imex import (
+        IncompressibleEulerHDGIMEXARS2_232,
+    )
 
     def run(lag):
         if lag:
@@ -325,7 +332,7 @@ def test_lagged_preconditioner_matches(monkeypatch):
         else:
             monkeypatch.delenv("IEHDG_LAG_PC", raising=False)
         disc = HDGDiscretisation(unit_square_mesh(8), 1)
-        stepper = IncompressibleEulerHDGIMEXSSP2_332(disc, 0.1)
+        stepper = IncompressibleEulerHDGIMEXARS2_232(disc, 0.1)
         stepper.composite_step_cells = 1  # force the composite path
         problem = TaylorGreen(disc)
         Q0e, p0e = problem.initial_condition()
